@@ -1,0 +1,184 @@
+"""Posting blocks: delta+varbyte packed, with block-max metadata.
+
+Plays the role of the reference's mem-index posting blocks + skip list
+(mem-index/mem-posting.c:100-185 flushes ~12KB blocks keyed by first docID;
+mem-index/skippy.h:62-148 jump(target) descends to the furthest node with
+key <= target). In Spark the "skip" is the min/max block predicate: an AND
+merge filters blocks on ``last_doc_id >= target`` / ``first_doc_id <=
+bound`` and never decodes pruned blocks. The extra ``block_max_tfn`` column
+(max BM25 tf-normalization inside the block) is the block-max metadata that
+enables WAND pruning (north rule; cf. Ding & Suel, "Faster Top-k Document
+Retrieval Using Block-Max Indexes", SIGIR'11).
+
+Layout per block row:
+  term STRING, first_doc_id LONG, last_doc_id LONG, n INT,
+  doc_ids_blob BINARY (delta+varbyte), tfs_blob BINARY (varbyte),
+  doclens_blob BINARY (varbyte; denormalized so scoring never joins
+  doc_meta at query time), positions_blob BINARY (varbyte, concatenated;
+  per-entry lengths == tf), block_max_tfn FLOAT.
+
+Scale notes: packing runs after ``repartitionByRange(term, doc_id)`` +
+``sortWithinPartitions`` — a hot term's posting list is *split across
+partitions* (each yielding its own block run), so no reducer ever owns a
+stopword's full 10^11-entry list. Packing itself is streaming per Arrow
+batch: a term spanning batches just produces one extra partial block, which
+the query path merges transparently.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions import codec
+from .scoring import BM25_B, BM25_K1, tf_norm_np
+
+DEFAULT_BLOCK = 512  # posting entries per block (reference: ~12KB blocks, mem-index/config.h:12-16)
+
+BLOCK_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("first_doc_id", LongType(), False),
+        StructField("last_doc_id", LongType(), False),
+        StructField("n", IntegerType(), False),
+        StructField("doc_ids_blob", BinaryType(), False),
+        StructField("tfs_blob", BinaryType(), False),
+        StructField("doclens_blob", BinaryType(), False),
+        StructField("positions_blob", BinaryType(), False),
+        StructField("block_max_tfn", FloatType(), False),
+    ]
+)
+
+UNPACKED_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tf", IntegerType(), False),
+        StructField("doclen", IntegerType(), False),
+        StructField("positions", ArrayType(IntegerType()), False),
+    ]
+)
+
+
+def _pack_group(term: str, doc_ids, tfs, doclens, pos_lists, avgdl: float, block: int):
+    """Pack one term's (sorted) run of posting entries into block rows."""
+    n = len(doc_ids)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        ids = np.asarray(doc_ids[s:e], dtype=np.uint64)
+        tf = np.asarray(tfs[s:e], dtype=np.uint64)
+        dl = np.asarray(doclens[s:e], dtype=np.uint64)
+        pos_concat = (
+            np.concatenate([np.asarray(p, dtype=np.uint64) for p in pos_lists[s:e]])
+            if e > s
+            else np.empty(0, dtype=np.uint64)
+        )
+        bmt = float(tf_norm_np(tf.astype(np.float32), dl.astype(np.float32), avgdl).max())
+        yield {
+            "term": term,
+            "first_doc_id": int(ids[0]),
+            "last_doc_id": int(ids[-1]),
+            "n": int(e - s),
+            "doc_ids_blob": codec.encode_ids(ids),
+            "tfs_blob": codec.vb_encode(tf),
+            "doclens_blob": codec.vb_encode(dl),
+            "positions_blob": codec.vb_encode(pos_concat),
+            "block_max_tfn": bmt,
+        }
+
+
+def pack_blocks(
+    postings_with_doclen: DataFrame,
+    avgdl: float,
+    block: int = DEFAULT_BLOCK,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(term, doc_id, tf, positions, doclen) -> packed block rows.
+
+    Input need not be pre-sorted; we range-partition on (term, doc_id) and
+    sort within partitions, which both co-locates each term's entries in
+    doc_id order and splits skewed terms across partitions.
+    """
+    sc = postings_with_doclen.sparkSession.sparkContext
+    nparts = num_partitions or sc.defaultParallelism
+    arranged = postings_with_doclen.repartitionByRange(
+        nparts, "term", "doc_id"
+    ).sortWithinPartitions("term", "doc_id")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows: list[dict] = []
+            # batch is sorted by (term, doc_id); group contiguous term runs
+            terms = pdf["term"].to_numpy()
+            bounds = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1], True])
+            for i in range(len(bounds) - 1):
+                s, e = bounds[i], bounds[i + 1]
+                rows.extend(
+                    _pack_group(
+                        terms[s],
+                        pdf["doc_id"].to_numpy()[s:e],
+                        pdf["tf"].to_numpy()[s:e],
+                        pdf["doclen"].to_numpy()[s:e],
+                        pdf["positions"].tolist()[s:e],
+                        avgdl,
+                        block,
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return arranged.mapInPandas(pack, BLOCK_SCHEMA)
+
+
+def unpack_blocks(blocks: DataFrame, with_positions: bool = True) -> DataFrame:
+    """Packed block rows -> (term, doc_id, tf, doclen, positions)."""
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"term": [], "doc_id": [], "tf": [], "doclen": [], "positions": []}
+            for row in pdf.itertuples(index=False):
+                ids = codec.decode_ids(row.doc_ids_blob).astype(np.int64)
+                tfs = codec.vb_decode(row.tfs_blob).astype(np.int32)
+                dls = codec.vb_decode(row.doclens_blob).astype(np.int32)
+                out["term"].append(np.repeat(row.term, len(ids)))
+                out["doc_id"].append(ids)
+                out["tf"].append(tfs)
+                out["doclen"].append(dls)
+                if with_positions:
+                    pos = codec.vb_decode(row.positions_blob).astype(np.int32)
+                    out["positions"].extend(np.split(pos, np.cumsum(tfs))[:-1])
+                else:
+                    out["positions"].extend([np.empty(0, dtype=np.int32)] * len(ids))
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(out["term"]),
+                    "doc_id": np.concatenate(out["doc_id"]),
+                    "tf": np.concatenate(out["tf"]),
+                    "doclen": np.concatenate(out["doclen"]),
+                    "positions": out["positions"],
+                }
+            )
+
+    return blocks.mapInPandas(unpack, UNPACKED_SCHEMA)
+
+
+def block_meta(blocks: DataFrame) -> DataFrame:
+    """Metadata-only projection used for WAND pruning / block skipping."""
+    return blocks.select("term", "first_doc_id", "last_doc_id", "n", "block_max_tfn")

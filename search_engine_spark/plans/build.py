@@ -1,0 +1,125 @@
+"""End-to-end index build (reference indexer/ + indices/ roles).
+
+corpus (url, warc_ts, html, text, lang)
+  -> doc_ids     (url, doc_id)                       [I8]
+  -> tokens      (doc_id, pos, term)                 [I2/I4/I5/I7]
+  -> postings    (term, doc_id, tf, positions)       [I9, tf cap Q10]
+  -> doc_meta    (doc_id, doclen), stats             [I10]
+  -> term_stats  (term, df, cf)                      [I10]
+  -> blocks      (delta+varbyte, block-max)          [I11-I13]
+  -> docstore    (doc_id, url, text)                 [I15; Parquet/Iceberg
+                  column compression replaces the reference's gzip blobs I14]
+
+Dataflow shape on a cluster (cf. SURVEY §3.1): tokenize is narrow; shuffle 1
+= groupBy(term, doc_id) posting aggregation (doc_id in the key kills term
+skew); shuffle 2 = range partition by (term, doc_id) for block packing; all
+writes are partitioned table writes. With Iceberg available the writer
+targets an Iceberg table (see sources/tables.py); in this sandbox we write
+Parquet directories with the same layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.tokenizer import tokens_frame
+from ..operators import postings as P
+from ..operators.blocks import DEFAULT_BLOCK, pack_blocks
+from ..operators.docids import assign_doc_ids
+from ..sources.tables import read_table, write_table
+
+
+@dataclass
+class InvertedIndex:
+    """Umbrella handle over the index tables (reference indices/indices.c)."""
+
+    postings: DataFrame  # uncompressed posting rows (term, doc_id, tf, positions, doclen)
+    blocks: DataFrame  # packed posting blocks
+    doc_meta: DataFrame  # (doc_id, doclen)
+    term_stats: DataFrame  # (term, df, cf)
+    docstore: DataFrame  # (doc_id, url, text)
+    docN: int
+    avgdl: float
+
+    def cache(self) -> "InvertedIndex":
+        """Warm the serving path (reference postcache role, indices/postcache.c)."""
+        self.blocks.cache()
+        self.term_stats.cache()
+        return self
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    block: int = DEFAULT_BLOCK,
+    id_col: str | None = None,
+    keep_row_postings: bool = True,
+    persist: bool = True,
+) -> InvertedIndex:
+    """Build all index tables from a corpus DataFrame.
+
+    ``id_col``: use an existing stable id column instead of assigning
+    row_number-over-url docIDs (any stable total order preserves the
+    reference's semantics; the default matches FIXTURES.md).
+
+    ``persist``: cache the posting rows + doc_meta (both are consumed by
+    several downstream actions — stats scalars, term_stats, block packing;
+    without it every action re-runs tokenization. On a real cluster this is
+    the Indri-buffer analogue: materialize the shuffle output once).
+    """
+    if id_col is None:
+        docs = assign_doc_ids(corpus, "url")
+    else:
+        docs = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
+
+    docs = docs.select("doc_id", "url", "text")
+    tokens = tokens_frame(docs)
+    rows = P.posting_rows(tokens)
+    dmeta = P.doc_meta(tokens, docs)
+    rows_dl = rows.join(dmeta, "doc_id")  # denormalize doclen into postings
+    if persist:
+        rows_dl = rows_dl.persist()
+        dmeta = dmeta.persist()
+    stats = P.collection_stats(dmeta)
+    tstats = P.term_stats(rows_dl)
+    blocks = pack_blocks(rows_dl, stats["avgdl"], block=block)
+    docstore = docs.select("doc_id", "url", "text")
+    return InvertedIndex(
+        postings=rows_dl if keep_row_postings else None,
+        blocks=blocks,
+        doc_meta=dmeta,
+        term_stats=tstats,
+        docstore=docstore,
+        docN=stats["docN"],
+        avgdl=stats["avgdl"],
+    )
+
+
+def save_index(index: InvertedIndex, path: str) -> None:
+    """Persist index tables (Parquet dirs; Iceberg when a catalog is up)."""
+    write_table(index.blocks, f"{path}/blocks", partition_cols=None)
+    write_table(index.doc_meta, f"{path}/doc_meta")
+    write_table(index.term_stats, f"{path}/term_stats")
+    write_table(index.docstore, f"{path}/docstore")
+    spark = index.blocks.sparkSession
+    spark.createDataFrame(
+        [(index.docN, float(index.avgdl))], "docN long, avgdl double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def load_index(spark: SparkSession, path: str, with_row_postings: bool = False) -> InvertedIndex:
+    from ..operators.blocks import unpack_blocks
+
+    blocks = read_table(spark, f"{path}/blocks")
+    stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    return InvertedIndex(
+        postings=unpack_blocks(blocks) if with_row_postings else None,
+        blocks=blocks,
+        doc_meta=read_table(spark, f"{path}/doc_meta"),
+        term_stats=read_table(spark, f"{path}/term_stats"),
+        docstore=read_table(spark, f"{path}/docstore"),
+        docN=int(stats["docN"]),
+        avgdl=float(stats["avgdl"]),
+    )

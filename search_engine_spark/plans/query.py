@@ -1,0 +1,289 @@
+"""BM25 top-k query engine (reference search/ role), set-oriented.
+
+The reference merges posting iterators document-at-a-time
+(search/postmerge.c) and scores each union docID in a callback
+(search/search.c:167-278). Spark has no iterators — the union merge becomes
+a broadcast join of the (tiny) query-term frame against the posting table
+followed by a hash aggregation per doc_id; the AND merge becomes a HAVING
+count == n_terms predicate; the bounded top-k heap becomes
+``ORDER BY score DESC, doc_id LIMIT k`` which Catalyst plans as
+TakeOrderedAndProject (per-partition heaps + driver merge — the reference's
+minheap, distributed for free).
+
+Block-max WAND (north rule; reference skip lists mem-index/skippy.h +
+score-threshold pruning search/search-utils.c:322-335) is re-expressed
+set-oriented and upper-bound-safe:
+
+  phase 0  block metadata (term, first_doc_id, last_doc_id, block_max_tfn)
+           for the query terms only — never decodes payloads;
+  phase 1  exact-score the doc range of the single highest-upper-bound
+           block => threshold T = kth best total (a valid lower bound on
+           the final kth score);
+  phase 2  sweep the block boundaries into elementary doc_id intervals;
+           an interval whose summed per-term covering upper bounds
+           (+ proximity max ln(1.3) + 10000*n_terms match-dim bonus +
+           0.5*(1+...) factor) stays below T cannot contain a top-k doc —
+           prune it; decode only blocks intersecting surviving intervals,
+           score exactly, filter to surviving intervals.
+
+Pruned-vs-full equality is asserted in tests (prune safety). The sweep runs
+on collected block *metadata* (a few thousand rows per query term at test
+scale; at 10^12 docs this is the one place a driver-side cap applies — the
+engine falls back to unpruned scoring above ``meta_cap`` rows, documented
+trade-off).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import FloatType
+
+from ..functions.tokenizer import tokenize_text
+from ..operators import scoring as S
+from ..operators.blocks import unpack_blocks
+from .build import InvertedIndex
+
+MAX_TERM_KEYWORDS = 20  # searchd/config.h:24 MAX_ACCEPTED_NON_MATH_KEYWORDS
+
+
+def digest_query(qtext: str) -> list[str]:
+    """Query text -> deduped, lowercased keyword list (reference Q2/Q4).
+
+    The reference re-lexes query keywords with the indexing lexer
+    (search/query.c:81-113) and drops duplicate post_ids keeping the first
+    occurrence (search/query.c:151-221); the daemon caps term keywords at 20
+    (searchd/config.h:24).
+    """
+    seen: dict[str, None] = {}
+    for t in tokenize_text(qtext):
+        if t not in seen:
+            seen[t] = None
+    return list(seen)[:MAX_TERM_KEYWORDS]
+
+
+@F.pandas_udf(FloatType())
+def _prox_udf(pos_structs: pd.Series) -> pd.Series:
+    """array<struct<kw_idx,positions>> per doc -> prox score (float32)."""
+
+    def one(entries: object) -> float:
+        if entries is None:
+            return float(S.prox_score(S.MAX_DIST))
+        lists = [np.asarray(e["positions"]) for e in entries]
+        return float(S.prox_score(S.prox_min_dist(lists)))
+
+    return pos_structs.map(one).astype("float32")
+
+
+@dataclass
+class QueryResult:
+    df: DataFrame
+    n_terms: int
+    idfs: dict[str, float]
+
+
+def _query_terms_with_idf(index: InvertedIndex, terms: list[str]) -> dict[str, float]:
+    """Resolve df for each keyword (reference Q3/Q5) -> idf map.
+
+    Absent terms get no posting rows; in AND mode the count predicate then
+    yields the empty set (postmerge.c:228-236 NULL posting semantics).
+    """
+    stats = (
+        index.term_stats.filter(F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    )
+    dfmap = {r["term"]: r["df"] for r in stats}
+    return {t: S.idf(float(dfmap.get(t, 0)), float(index.docN)) for t in terms}
+
+
+def _candidate_rows(index: InvertedIndex, terms: list[str], use_blocks: bool, with_positions: bool) -> DataFrame:
+    if use_blocks:
+        blk = index.blocks.filter(F.col("term").isin(terms))
+        return unpack_blocks(blk, with_positions=with_positions)
+    return index.postings.filter(F.col("term").isin(terms))
+
+
+def _score_frame(
+    index: InvertedIndex,
+    rows: DataFrame,
+    terms: list[str],
+    idfs: dict[str, float],
+    mode: str,
+    with_prox: bool,
+) -> DataFrame:
+    """Per-candidate-doc total score (reference Q7/Q8/Q9/Q11/Q12)."""
+    spark = rows.sparkSession
+    kw = spark.createDataFrame(
+        [(i, t, float(idfs[t])) for i, t in enumerate(terms)],
+        "kw_idx int, term string, idf double",
+    )
+    joined = rows.join(F.broadcast(kw), "term")
+    scored = joined.withColumn(
+        "term_score", F.col("idf") * S.tf_norm_col(F.col("tf"), F.col("doclen"), index.avgdl)
+    )
+    agg_cols = [
+        (F.lit(1.0) + F.sum(F.when(F.col("term_score") != 0.0, F.col("term_score")).otherwise(0.0))).alias("bm25"),
+        F.sum(F.when(F.col("term_score") != 0.0, 1.0).otherwise(0.0)).alias("match_dim"),
+        F.count(F.lit(1)).alias("n_matched_terms"),
+    ]
+    if with_prox:
+        agg_cols.append(
+            F.collect_list(F.struct(F.col("kw_idx"), F.col("positions"))).alias("pos_in")
+        )
+    per_doc = scored.groupBy("doc_id").agg(*agg_cols)
+    if mode == "and":
+        per_doc = per_doc.filter(F.col("n_matched_terms") == len(terms))
+    if with_prox:
+        per_doc = per_doc.withColumn("prox", _prox_udf(F.col("pos_in"))).drop("pos_in")
+    else:
+        per_doc = per_doc.withColumn("prox", F.lit(float(S.prox_score(S.MAX_DIST))))
+    # term-only query: math factor = (1+0)/2 = 0.5 (search/search.c:253-263)
+    return per_doc.withColumn(
+        "score",
+        F.col("prox")
+        + F.lit(0.5) * F.col("bm25")
+        + F.lit(S.MATCH_DIM_WEIGHT) * F.col("match_dim"),
+    )
+
+
+def top_k(per_doc: DataFrame, k: int = S.RANK_K) -> DataFrame:
+    """Bounded top-k (reference Q13/Q14): TakeOrderedAndProject.
+
+    Reference heap order is unstable on ties; we fix (score DESC, doc_id ASC).
+    """
+    return per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search(
+    spark: SparkSession,
+    index: InvertedIndex,
+    qtext: str,
+    mode: str = "or",
+    k: int = S.RANK_K,
+    use_blocks: bool = True,
+    with_prox: bool = True,
+    wand: bool = False,
+    meta_cap: int = 2_000_000,
+) -> DataFrame:
+    """Full query: digest -> candidates -> score -> top-k.
+
+    Returns (doc_id, bm25, match_dim, prox, score) ordered by
+    (score DESC, doc_id ASC), limited to k.
+    """
+    terms = digest_query(qtext)
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_id long, bm25 double, match_dim double, n_matched_terms long, prox float, score double"
+        )
+    idfs = _query_terms_with_idf(index, terms)
+
+    if wand and use_blocks:
+        pruned = _wand_prune(spark, index, terms, idfs, mode, with_prox, k, meta_cap)
+        if pruned is not None:
+            return top_k(pruned, k).select(
+                "doc_id", "bm25", "match_dim", "n_matched_terms", "prox", "score"
+            )
+
+    rows = _candidate_rows(index, terms, use_blocks, with_positions=with_prox)
+    per_doc = _score_frame(index, rows, terms, idfs, mode, with_prox)
+    return top_k(per_doc, k).select(
+        "doc_id", "bm25", "match_dim", "n_matched_terms", "prox", "score"
+    )
+
+
+# ---------------------------------------------------------------- WAND ----
+
+
+def _interval_sweep(meta: pd.DataFrame, idfs: dict[str, float], n_terms: int, thresh: float):
+    """Elementary-interval upper-bound sweep over block metadata.
+
+    Returns surviving [start, end] doc_id intervals (inclusive). An interval
+    survives iff ln(1.3) + 0.5*(1 + sum_t max(ub_t, 0)) + 10000*n_terms >= T
+    where ub_t is the max covering-block upper bound of term t there.
+    """
+    pts = np.unique(np.r_[meta["first_doc_id"].to_numpy(), meta["last_doc_id"].to_numpy() + 1])
+    if len(pts) < 2:
+        return [(int(meta["first_doc_id"].min()), int(meta["last_doc_id"].max()))]
+    starts = pts[:-1]
+    total_ub = np.zeros(len(starts), dtype=np.float64)
+    for term, grp in meta.groupby("term"):
+        idf = idfs[term]
+        ub = np.zeros(len(starts), dtype=np.float64)
+        f = grp["first_doc_id"].to_numpy()
+        l = grp["last_doc_id"].to_numpy()
+        u = np.maximum(grp["block_max_tfn"].to_numpy() * idf, 0.0)
+        # for each elementary interval, max ub among covering blocks
+        for bf, bl, bu in zip(f, l, u):
+            lo = np.searchsorted(starts, bf, "left")
+            hi = np.searchsorted(starts, bl, "right")
+            np.maximum(ub[lo:hi], bu, out=ub[lo:hi])
+        total_ub += ub
+    bound = math.log(1.3) + 0.5 * (1.0 + total_ub) + S.MATCH_DIM_WEIGHT * n_terms
+    keep = bound >= thresh
+    out = []
+    for i in np.flatnonzero(keep):
+        out.append((int(starts[i]), int(pts[i + 1] - 1)))
+    return out
+
+
+def _wand_prune(
+    spark: SparkSession,
+    index: InvertedIndex,
+    terms: list[str],
+    idfs: dict[str, float],
+    mode: str,
+    with_prox: bool,
+    k: int,
+    meta_cap: int,
+) -> DataFrame | None:
+    """Two-phase block-max pruning; returns scored survivors or None (fallback)."""
+    meta_df = index.blocks.filter(F.col("term").isin(terms)).select(
+        "term", "first_doc_id", "last_doc_id", "block_max_tfn"
+    )
+    if meta_df.limit(meta_cap + 1).count() > meta_cap:
+        return None
+    meta = meta_df.toPandas()
+    if meta.empty:
+        return None
+
+    # phase 1: exact scores over the best block's doc range -> threshold
+    ubs = meta["block_max_tfn"].to_numpy() * meta["term"].map(idfs).to_numpy()
+    best = meta.iloc[int(np.argmax(ubs))]
+    lo, hi = int(best["first_doc_id"]), int(best["last_doc_id"])
+    seed_blocks = index.blocks.filter(
+        F.col("term").isin(terms)
+        & (F.col("first_doc_id") <= hi)
+        & (F.col("last_doc_id") >= lo)
+    )
+    seed_rows = unpack_blocks(seed_blocks, with_positions=with_prox).filter(
+        (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+    )
+    seed_scores = _score_frame(index, seed_rows, terms, idfs, mode, with_prox)
+    kth = seed_scores.orderBy(F.desc("score")).limit(k).collect()
+    if len(kth) < k:
+        thresh = -math.inf
+    else:
+        thresh = float(kth[-1]["score"])
+
+    intervals = _interval_sweep(meta, idfs, len(terms), thresh)
+    if not intervals:
+        return seed_scores  # everything else provably below threshold
+
+    # phase 2: decode only blocks intersecting surviving intervals
+    cond = None
+    for s, e in intervals:
+        c = (F.col("first_doc_id") <= e) & (F.col("last_doc_id") >= s)
+        cond = c if cond is None else (cond | c)
+    surv_blocks = index.blocks.filter(F.col("term").isin(terms) & cond)
+    rows = unpack_blocks(surv_blocks, with_positions=with_prox)
+    dcond = None
+    for s, e in intervals:
+        c = (F.col("doc_id") >= s) & (F.col("doc_id") <= e)
+        dcond = c if dcond is None else (dcond | c)
+    rows = rows.filter(dcond)
+    return _score_frame(index, rows, terms, idfs, mode, with_prox)

@@ -1,0 +1,105 @@
+"""Index-build correctness: docIDs, stats, posting rows, block round-trip."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.tokenizer import tokenize_text
+from search_engine_spark.operators.blocks import unpack_blocks
+from search_engine_spark.operators.docids import assign_doc_ids
+from search_engine_spark.operators.postings import term_stats_salted
+from search_engine_spark.functions.tokenizer import tokens_frame
+
+
+def test_doc_ids_deterministic_and_contiguous(spark, corpus200):
+    ids = assign_doc_ids(corpus200).select("url", "doc_id").collect()
+    by_url = sorted(ids, key=lambda r: r["url"])
+    assert [r["doc_id"] for r in by_url] == list(range(1, len(ids) + 1))
+    # independent of input partitioning
+    ids2 = assign_doc_ids(corpus200.repartition(13)).select("url", "doc_id").collect()
+    assert {r["url"]: r["doc_id"] for r in ids2} == {r["url"]: r["doc_id"] for r in ids}
+
+
+def test_stats_match_naive(index200, pydocs200):
+    doclens = {d: len(tokenize_text(t)) for d, t in pydocs200}
+    assert index200.docN == len(pydocs200)
+    assert abs(index200.avgdl - sum(doclens.values()) / len(doclens)) < 1e-9
+    got = {r["doc_id"]: r["doclen"] for r in index200.doc_meta.collect()}
+    assert got == doclens
+
+
+def test_posting_rows_match_naive(index200, pydocs200):
+    from search_engine_spark.oracle import build_naive_index
+
+    postings, _, _, _ = build_naive_index(pydocs200)
+    rows = index200.postings.select("term", "doc_id", "tf", "positions").collect()
+    got = {(r["term"], r["doc_id"]): (r["tf"], list(r["positions"])) for r in rows}
+    exp = {
+        (t, d): (tf, pos)
+        for t, m in postings.items()
+        for d, (tf, pos) in m.items()
+    }
+    assert got == exp
+
+
+def test_tf_cap_applied(index200):
+    # doc 0 (doc_id 1 by url order) holds waaaa x >2048
+    r = index200.postings.filter(
+        (F.col("term") == "waaaa") & (F.col("doc_id") == 1)
+    ).collect()[0]
+    assert r["tf"] == 2048
+    assert len(r["positions"]) == 2048
+    # doclen is the UNCAPPED token count
+    dl = index200.doc_meta.filter(F.col("doc_id") == 1).collect()[0]["doclen"]
+    assert dl > 2048
+
+
+def test_block_roundtrip(index200):
+    rows = index200.postings.select("term", "doc_id", "tf", "positions").collect()
+    exp = {(r["term"], r["doc_id"]): (r["tf"], list(r["positions"])) for r in rows}
+    unpacked = unpack_blocks(index200.blocks).collect()
+    got = {(r["term"], r["doc_id"]): (r["tf"], list(r["positions"])) for r in unpacked}
+    assert got == exp
+    # block invariants
+    for b in index200.blocks.collect():
+        assert b["first_doc_id"] <= b["last_doc_id"]
+        assert 0 < b["n"] <= 32
+        assert b["block_max_tfn"] > 0
+
+
+def test_term_stats_and_negative_idf_term(index200, pydocs200):
+    import math
+
+    from search_engine_spark.oracle import build_naive_index
+
+    postings, _, docN, _ = build_naive_index(pydocs200)
+    got = {r["term"]: (r["df"], r["cf"]) for r in index200.term_stats.collect()}
+    exp = {t: (len(m), sum(tf for tf, _ in m.values())) for t, m in postings.items()}
+    assert got == exp
+    # fixture guarantees a >50%-df term => negative idf (no floor)
+    df = got["waaaa"][0]
+    assert df > docN / 2
+    assert math.log((docN - df + 0.5) / (df + 0.5)) < 0
+
+
+def test_salted_term_stats_equals_plain(spark, corpus200, index200):
+    docs = assign_doc_ids(corpus200).select("doc_id", "text")
+    tokens = tokens_frame(docs)
+    salted = {r["term"]: (r["df"], r["cf"]) for r in term_stats_salted(tokens, 8).collect()}
+    plain = {
+        r["term"]: (r["df"], r["cf"])
+        for r in index200.postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+        .collect()
+    }
+    # salted cf counts raw tokens; plain cf counts capped tf. Only the
+    # tf-cap doc differs — adjust for it.
+    assert set(salted) == set(plain)
+    ncap_diff = 0
+    for t in plain:
+        assert salted[t][0] == plain[t][0], t
+        if salted[t][1] != plain[t][1]:
+            ncap_diff += 1
+            assert t == "waaaa"
+    assert ncap_diff <= 1

@@ -1,0 +1,64 @@
+"""Rank-identity: engine top-k vs the independent naive oracle.
+
+Covers the reference golden-test style (tests/math-rank-test.sh transposed
+to term search): OR/AND, rare+common terms, negative-idf term, absent term,
+dedup, case folding, single keyword (prox = ln 0.3), >155 hits.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.corpus import vocab_word as W
+from search_engine_spark.oracle import naive_search
+from search_engine_spark.plans.query import digest_query, search
+
+QUERIES = [
+    ("q_single", W(3), "or"),
+    ("q_two_common", f"{W(1)} {W(2)}", "or"),
+    ("q_rare_pair", f"{W(3500)} {W(4000)}", "or"),
+    ("q_common_rare", f"{W(1)} {W(4500)}", "or"),
+    ("q_negative_idf", f"{W(0)} {W(5)}", "or"),  # W(0) df > N/2
+    ("q_and_two", f"{W(1)} {W(2)}", "and"),
+    ("q_and_missing", f"{W(1)} zzznotaterm", "and"),  # empty result
+    ("q_or_missing", f"{W(1)} zzznotaterm", "or"),
+    ("q_dedup", f"{W(4)} {W(4)} {W(4)}", "or"),
+    ("q_case", f"{W(6).upper()} DOG", "or"),
+    ("q_multiword_split", f"{W(1)}-{W(2)}.{W(3)}", "or"),
+    ("q_over_155_hits", W(0), "or"),
+    ("q_math_placeholder", f"[imath]a+b[/imath] {W(2)}", "or"),
+]
+
+
+@pytest.mark.parametrize("qid,qtext,mode", QUERIES)
+@pytest.mark.parametrize("use_blocks", [False, True])
+def test_rank_identity(spark, index200, pydocs200, qid, qtext, mode, use_blocks):
+    got = search(spark, index200, qtext, mode=mode, use_blocks=use_blocks).collect()
+    exp = naive_search(pydocs200, qtext, mode=mode)
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp], qid
+    for r, (_, sc) in zip(got, exp):
+        assert r["score"] == pytest.approx(sc, rel=1e-4), (qid, r["doc_id"])
+
+
+def test_digest_matches_reference_semantics():
+    assert digest_query("WAAAA DOG dog waaaa") == ["waaaa", "dog"]
+    assert digest_query("[imath]x[/imath] a") == ["math_exp", "a"]
+    assert len(digest_query(" ".join(f"t{chr(97 + i)}{chr(97 + i)}" for i in range(30)))) == 20
+
+
+def test_k_bounds_results(spark, index200, pydocs200):
+    got = search(spark, index200, W(0)).collect()
+    assert len(got) == 155  # fixture guarantees >155 hits for W(0)
+    exp = naive_search(pydocs200, W(0))
+    assert len(exp) == 155
+    assert [r["doc_id"] for r in got] == [d for d, _ in exp]
+
+
+def test_tie_break_is_doc_id_asc(spark, index200):
+    # docs 12 and 13 are exact duplicates => identical scores, doc_id order
+    got = search(spark, index200, f"{W(7)} {W(8)}").collect()
+    scores = {r["doc_id"]: r["score"] for r in got}
+    d3, d4 = 13, 14  # url-order doc_ids of corpus docs i=12,13 (1-based)
+    assert scores[d3] == scores[d4]
+    order = [r["doc_id"] for r in got]
+    assert order.index(d3) < order.index(d4)
