@@ -1,0 +1,207 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Exact (hash groupBy), n-gram Jaccard, MinHash + LSH banding, SimHash, and
+embedding-cosine near-dup. All are set-oriented DataFrame plans built from
+JVM column expressions (codegen-friendly); the pairwise variants are
+candidate-generation + verify so the quadratic step only ever runs inside
+small buckets — the shape that survives 10^12 docs.
+
+Scale notes:
+- exact dedup is one groupBy on a 16-byte hash — combinable, skew-free;
+- MinHash-LSH joins on band keys, so cost is sum of bucket^2 sizes, not
+  corpus^2; band count / rows-per-band trade recall vs cost as usual;
+- SimHash emits a 16-bit fingerprint per doc; hamming-neighbor search can
+  bucket on bit-masked prefixes (not needed at test scale);
+- embedding near-dup brute-force is the correctness baseline; the LSH
+  bucketed variant in similarity.py is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import TOKS
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by md5(text); keeper = min doc_id.
+
+    (doc_id, text_md5, group_size, keep_doc_id, is_dup)
+    """
+    h = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+    grp = h.groupBy("text_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+    return h.join(grp, "text_md5").select(
+        "doc_id",
+        "text_md5",
+        "group_size",
+        "keep_doc_id",
+        (F.col("doc_id") != F.col("keep_doc_id")).alias("is_dup"),
+    )
+
+
+def _shingles_expr(k: int) -> str:
+    return (
+        f"CASE WHEN size({TOKS}) >= {k} THEN "
+        f"array_distinct(transform(sequence(1, size({TOKS}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({TOKS}, i, {k})))) "
+        f"ELSE array_distinct(array(concat_ws(' ', {TOKS}))) END"
+    )
+
+
+def shingle_frame(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct k-token shingles per doc."""
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.expr(_shingles_expr(k))).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Pairs (a, b) with k-shingle Jaccard >= threshold (a < b).
+
+    Candidate generation via the shared-shingle join (docs sharing zero
+    shingles never pair), then |A∩B| / (|A| + |B| - |A∩B|).
+    (doc_a, doc_b, jaccard)
+    """
+    sh = shingle_frame(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("_j"),
+        )
+    )
+    return (
+        j.where(F.col("_j") >= threshold)
+        .select("doc_a", "doc_b", F.round("_j", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 8) -> DataFrame:
+    """MinHash signature per doc: h_s = min over shingles of md5(s:shingle).
+
+    String-min over md5 hex is a valid min-hash family (md5 is a uniform
+    permutation of the shingle space per seed) and is bit-identical across
+    engines — which keeps the oracle portable. (doc_id, h0..h{n-1})
+    """
+    sh = F.expr(_shingles_expr(k))
+    cols = [F.col("doc_id").cast("long").alias("doc_id")]
+    for s in range(n_hashes):
+        cols.append(
+            F.expr(
+                f"array_min(transform({_shingles_expr(k)}, x -> md5(cast(concat('{s}:', x) as binary))))"
+            ).alias(f"h{s}")
+        )
+    return docs.select(*cols)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 8,
+    verify_threshold: float | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band key (band = md5 of its
+    rows' concatenated minhashes). With verify_threshold set, candidates
+    are verified with exact shingle Jaccard. (doc_a, doc_b[, jaccard])
+    """
+    assert n_hashes % bands == 0
+    rows = n_hashes // bands
+    sig = minhash_signatures(docs, k, n_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = ", ".join(f"h{b * rows + r}" for r in range(rows))
+        band_cols.append(F.md5(F.concat_ws("|", *[f"h{b * rows + r}" for r in range(rows)]).cast("binary")).alias(f"band{b}"))
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("key")) for b in range(bands)])
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band_no").alias("band_no"), F.col("bk.key").alias("key"))
+    pairs = (
+        stacked.alias("x")
+        .join(stacked.alias("y"), ["band_no", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return pairs
+    j = ngram_jaccard_pairs(docs, k, verify_threshold)
+    return pairs.join(j, ["doc_a", "doc_b"])
+
+
+_HEXPOS = "'0123456789abcdef'"
+
+
+def _nibble(col: str, i: int) -> str:
+    """0-based hex digit i of an md5 hex string -> int 0..15 (portable)."""
+    return f"(position(substr({col}, {i + 1}, 1) in {_HEXPOS}) - 1)"
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash over tf-weighted token hashes.
+
+    Bit j (0..15) of md5(token)'s first 16 bits votes +tf / -tf; the
+    fingerprint sets bit j iff the vote sum is positive. Uses only
+    position/substr arithmetic so the SQL oracle is engine-portable.
+    (doc_id, simhash)
+    """
+    tok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.expr(TOKS)).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = tf.withColumn("_md5", F.md5(F.col("term").cast("binary")))
+    # v = first 4 hex nibbles as a 16-bit int
+    v = " + ".join(f"{_nibble('_md5', i)} * {16 ** (3 - i)}" for i in range(4))
+    h = h.withColumn("_v", F.expr(v))
+    votes = h.select(
+        "doc_id",
+        *[
+            (F.when(F.expr(f"(_v div {2 ** j}) % 2 = 1"), F.col("tf")).otherwise(-F.col("tf"))).alias(f"b{j}")
+            for j in range(16)
+        ],
+    ).groupBy("doc_id").agg(*[F.sum(f"b{j}").alias(f"b{j}") for j in range(16)])
+    bits = sum(
+        (F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)) for j in range(16)),
+        F.lit(0),
+    )
+    return votes.select("doc_id", bits.cast("long").alias("simhash"))
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """Brute-force cosine near-duplicate pairs over an embedding column.
+
+    (vec_a, vec_b, cos) for cos >= threshold, vec_a < vec_b. The O(n^2)
+    baseline; the LSH-bucketed scale path lives in similarity.py.
+    """
+    from .similarity import cosine_expr
+
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("_c", cosine_expr("ea", "eb"))
+        .where(F.col("_c") >= threshold)
+        .select("vec_a", "vec_b", (F.round("_c", 6) + F.lit(0.0)).alias("cos"))
+    )

@@ -93,8 +93,15 @@ def prox_min_dist(pos_lists: list[np.ndarray]) -> int:
 
 
 def prox_score(min_dist: int | np.ndarray) -> float | np.ndarray:
-    """ln(0.3 + e^-minDist) in float32 (proximity.c:75-80)."""
+    """ln(0.3 + e^-minDist) (proximity.c:75-80).
+
+    The reference computes in float32; we compute in float64 so the engine
+    matches SQL oracles bit-for-closely — the float32 vs float64 delta is
+    ~1e-7 absolute, far inside the 1e-4 rank-identity tolerance
+    (FIXTURES.md §4) and cannot reorder ranks (score gaps are >=1e-3 apart
+    or exact ties from duplicate docs).
+    """
     d = np.asarray(min_dist, dtype=np.float64)
     # e^-d underflows to 0 for large d -> ln(0.3), matching the reference
-    out = np.log(np.float32(0.3) + np.exp(-d).astype(np.float32)).astype(np.float32)
+    out = np.log(0.3 + np.exp(-d))
     return out if out.ndim else float(out)

@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline; sign-LSH bucketing as
+the scale path (search only the query's bucket). Dot products run as JVM
+higher-order functions (``zip_with`` + ``aggregate``) inside whole-stage
+codegen — no Python UDF in the scoring loop.
+
+Scale notes: brute force is a broadcast of the query vector + a single
+narrow pass (no shuffle) followed by TakeOrderedAndProject — linear scans
+of 10^12 vectors are a cluster-size problem, not a plan problem. The LSH
+variant prunes the scan to one bucket (expected n/2^bits of the data);
+production IVF would replace random hyperplanes with k-means centroids but
+the dataflow (bucket assignment at write, bucket-pruned scan at read) is
+identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dbl(col: str) -> str:
+    return f"transform({col}, x -> cast(x as double))"
+
+
+def dot_expr(a: str, b: str) -> Column:
+    return F.expr(f"aggregate(zip_with({_dbl(a)}, {_dbl(b)}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+
+def norm_expr(a: str) -> Column:
+    return F.expr(f"sqrt(aggregate({_dbl(a)}, 0D, (acc, v) -> acc + v * v))")
+
+
+def cosine_expr(a: str, b: str) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(emb: DataFrame, query_vec_id: int, k: int = 10) -> DataFrame:
+    """Exact cosine top-k neighbors of one stored vector (excluded itself).
+
+    (rank, vec_id, cos) — rank by (cos DESC, vec_id ASC).
+    """
+    q = emb.where(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("qv"))
+    scored = (
+        emb.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").cast("long").alias("vec_id"), cosine_expr("embedding", "qv").alias("_c"))
+    )
+    top = scored.orderBy(F.desc("_c"), F.asc("vec_id")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("_c"), F.asc("vec_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "vec_id",
+        (F.round("_c", 6) + F.lit(0.0)).alias("cos"),
+    )
+
+
+def lsh_bucket_expr(vec_col: str, planes: list[int]) -> Column:
+    """Sign-LSH bucket id: bit p set iff dot(vec, plane_p) >= 0.
+
+    Planes are *stored vectors* (by vec_id) so the bucketing is fully
+    data-derived and reproducible in any engine.
+    """
+    bits = None
+    for p, _ in enumerate(planes):
+        bit = F.when(dot_expr(vec_col, f"_plane{p}") >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits
+
+
+def lsh_topk(emb: DataFrame, query_vec_id: int, plane_ids: list[int], k: int = 5) -> DataFrame:
+    """ANN top-k searching only the query's sign-LSH bucket.
+
+    (rank, vec_id, bucket, cos). Deterministic: planes = stored vectors.
+    """
+    planes = emb.where(F.col("vec_id").isin(plane_ids))
+    sel = emb
+    for p, pid in enumerate(plane_ids):
+        pv = planes.where(F.col("vec_id") == pid).select(F.col("embedding").alias(f"_plane{p}"))
+        sel = sel.crossJoin(F.broadcast(pv))
+    bucketed = sel.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding"),
+        lsh_bucket_expr("embedding", plane_ids).cast("long").alias("bucket"),
+        *[F.col(f"_plane{p}") for p in range(len(plane_ids))],
+    )
+    qrow = bucketed.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    cand = (
+        bucketed.crossJoin(F.broadcast(qrow))
+        .where((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != query_vec_id))
+        .select("vec_id", "bucket", cosine_expr("embedding", "qv").alias("_c"))
+    )
+    top = cand.orderBy(F.desc("_c"), F.asc("vec_id")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("_c"), F.asc("vec_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "vec_id",
+        "bucket",
+        (F.round("_c", 6) + F.lit(0.0)).alias("cos"),
+    )
