@@ -1,0 +1,166 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: one JSON line on stdout —
+  {"metric": "index_docs_per_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": SF, ...}
+
+Timed pieces:
+- index build (docs/sec) over a deterministic synthetic Common-Crawl-style
+  corpus ($BENCH_DOCS docs, default 20000) — the north-rule throughput metric;
+- headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  each fully materialized (count/collect);
+- BM25 query QPS over a 16-query mixed workload on the warm index.
+
+``--scaling`` mode: runs the same index-build + query workload in two fresh
+subprocesses at local[8] and local[32] (the sandbox stand-in for N and 4N
+executors per BASELINE.md) and writes BENCH.md with throughput at both plus
+scaling efficiency = (tput@32 / tput@8) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_workload(cpus: int, sf_dir: str, n_docs: int) -> dict:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.corpus import synth_corpus
+    from search_engine_spark.entry_queries import REGISTRY, get_index
+    from search_engine_spark.plans.build import build_index
+    from search_engine_spark.plans.query import search
+    from search_engine_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"cpus": cpus}
+
+    # --- index build throughput (docs/sec) on the synthetic web corpus ---
+    corpus = synth_corpus(spark, n_docs, n_parts=max(cpus, n_docs // 2500))
+    corpus = corpus.persist()
+    corpus.count()  # materialize input so we time the build, not generation
+    t0 = time.time()
+    idx = build_index(spark, corpus)
+    idx.blocks.write.mode("overwrite").parquet("/tmp/bench_idx/blocks")
+    idx.term_stats.write.mode("overwrite").parquet("/tmp/bench_idx/term_stats")
+    idx.doc_meta.write.mode("overwrite").parquet("/tmp/bench_idx/doc_meta")
+    build_s = time.time() - t0
+    out["index_build_sec"] = round(build_s, 3)
+    out["index_docs_per_sec"] = round(n_docs / build_s, 1)
+    out["n_docs"] = n_docs
+
+    # --- query QPS on the warm synthetic index (rank-identical BM25 path) ---
+    idx.blocks.persist().count()
+    idx.term_stats.persist().count()
+    from search_engine_spark.corpus import vocab_word as W
+
+    workload = [
+        (f"{W(1)} {W(2)}", "or"), (f"{W(3)} {W(9)}", "and"), (W(40), "or"),
+        (f"{W(0)} {W(7)}", "or"), (f"{W(5)} {W(6)} {W(11)}", "or"),
+        (f"{W(200)} {W(300)}", "or"), (f"{W(2)} {W(4)}", "and"), (W(1000), "or"),
+    ] * 2
+    t0 = time.time()
+    for q, mode in workload:
+        search(spark, idx, q, mode=mode).collect()
+    qps_s = time.time() - t0
+    out["query_qps"] = round(len(workload) / qps_s, 2)
+    out["query_avg_sec"] = round(qps_s / len(workload), 3)
+    corpus.unpersist()
+
+    # --- headline per-query timings at the sf dir ---
+    queries = {}
+    headline = [
+        "ft_tokenize", "ft_postings", "ft_bm25_or2", "ft_bm25_and2",
+        "ft_bm25_wand", "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard",
+        "sim_ann_brute", "tx_quality", "rel_pricing_summary",
+    ]
+    get_index(spark, sf_dir)  # build + cache the sf index outside the timers
+    for name in headline:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+    out["queries"] = queries
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "20000"))
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for c in (8, 32):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(c), BENCH_DOCS=str(n_docs))
+            r = subprocess.run(
+                [sys.executable, __file__, "--single"],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            results[c] = json.loads(r.stdout.strip().splitlines()[-1])
+        t8, t32 = results[8]["index_docs_per_sec"], results[32]["index_docs_per_sec"]
+        q8, q32 = results[8]["query_qps"], results[32]["query_qps"]
+        eff_build = (t32 / t8) / 4
+        eff_qps = (q32 / q8) / 4
+        report = {
+            "build_docs_per_sec": {"local8": t8, "local32": t32, "efficiency": round(eff_build, 3)},
+            "query_qps": {"local8": q8, "local32": q32, "efficiency": round(eff_qps, 3)},
+            "n_docs": n_docs,
+        }
+        with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH.md"), "w") as f:
+            f.write(_bench_md(report, results))
+        print(json.dumps(report))
+        return
+
+    out = _run_workload(cpus, sf_dir, n_docs)
+    print(
+        json.dumps(
+            {
+                "metric": "index_docs_per_sec",
+                "value": out["index_docs_per_sec"],
+                "unit": "sec",
+                "queries": out["queries"],
+                "sf": sf,
+                "query_qps": out["query_qps"],
+                "index_build_sec": out["index_build_sec"],
+                "n_docs": out["n_docs"],
+                "cpus": out["cpus"],
+            }
+        )
+    )
+
+
+def _bench_md(report: dict, results: dict) -> str:
+    lines = [
+        "# BENCH — measured throughput + scaling efficiency",
+        "",
+        "Same job, same input, two parallelism levels (`local[8]` vs `local[32]`,",
+        "the sandbox stand-in for N vs 4N executors per BASELINE.md). Index build",
+        f"over {report['n_docs']} synthetic Common-Crawl-style docs; query QPS over a",
+        "16-query mixed BM25 workload on the warm index.",
+        "",
+        "| metric | local[8] | local[32] | scaling efficiency ((32/8)/4) |",
+        "|---|---|---|---|",
+        f"| index build (docs/sec) | {report['build_docs_per_sec']['local8']} | "
+        f"{report['build_docs_per_sec']['local32']} | {report['build_docs_per_sec']['efficiency']} |",
+        f"| query QPS | {report['query_qps']['local8']} | {report['query_qps']['local32']} | "
+        f"{report['query_qps']['efficiency']} |",
+        "",
+        "Raw per-level results:",
+        "",
+        "```json",
+        json.dumps(results, indent=2),
+        "```",
+        "",
+    ]
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    main()

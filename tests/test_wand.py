@@ -1,0 +1,57 @@
+"""WAND prune safety: pruned path must equal full scoring exactly
+(upper-bound-safe pruning; reference skip list + score-threshold analogue).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.corpus import vocab_word as W
+from search_engine_spark.plans.query import _interval_sweep, search
+
+CASES = [
+    (f"{W(1)} {W(2)}", "or"),
+    (f"{W(0)} {W(400)}", "or"),  # skewed + rare
+    (f"{W(3)} {W(9)}", "and"),
+    (W(50), "or"),
+    (f"{W(0)} {W(5)} {W(7)}", "or"),  # negative-idf term in the mix
+]
+
+
+@pytest.mark.parametrize("qtext,mode", CASES)
+def test_wand_equals_full(spark, index200, qtext, mode):
+    full = [(r["doc_id"], round(r["score"], 9)) for r in search(spark, index200, qtext, mode=mode, wand=False).collect()]
+    pruned = [(r["doc_id"], round(r["score"], 9)) for r in search(spark, index200, qtext, mode=mode, wand=True).collect()]
+    assert pruned == full
+
+
+def test_wand_actually_prunes(spark, index200):
+    """The interval sweep must reject at least one block range on a skewed
+    query (otherwise the 'pruning' is a no-op and the test is vacuous)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.operators.scoring import idf as idf_fn
+
+    terms = [W(0)]
+    meta = (
+        index200.blocks.filter(F.col("term").isin(terms))
+        .select("term", "first_doc_id", "last_doc_id", "block_max_tfn")
+        .toPandas()
+    )
+    idfs = {W(0): idf_fn(180.0, 200.0)}
+    # a very high threshold must prune everything
+    surv = _interval_sweep(meta, idfs, 1, thresh=1e12)
+    assert surv == []
+    # a very low threshold keeps everything
+    surv = _interval_sweep(meta, idfs, 1, thresh=-1e12)
+    total = sum(e - s + 1 for s, e in surv)
+    assert total >= int(meta["last_doc_id"].max() - meta["first_doc_id"].min())
+
+
+def test_meta_cap_fallback(spark, index200):
+    # a tiny meta_cap forces the unpruned fallback; results must not change
+    q = f"{W(1)} {W(2)}"
+    a = [(r["doc_id"], round(r["score"], 9)) for r in search(spark, index200, q, wand=True, meta_cap=1).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in search(spark, index200, q, wand=False).collect()]
+    assert a == b
