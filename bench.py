@@ -54,22 +54,26 @@ def _run_workload(cpus: int, sf_dir: str, n_docs: int) -> dict:
     out["index_docs_per_sec"] = round(n_docs / build_s, 1)
     out["n_docs"] = n_docs
 
-    # --- query QPS on the warm synthetic index (rank-identical BM25 path) ---
+    # --- query throughput on the warm synthetic index (BM25 path) ---
     idx.blocks.persist().count()
     idx.term_stats.persist().count()
     from search_engine_spark.corpus import vocab_word as W
+    from search_engine_spark.plans.query import search_many
 
-    workload = [
+    base = [
         (f"{W(1)} {W(2)}", "or"), (f"{W(3)} {W(9)}", "and"), (W(40), "or"),
         (f"{W(0)} {W(7)}", "or"), (f"{W(5)} {W(6)} {W(11)}", "or"),
         (f"{W(200)} {W(300)}", "or"), (f"{W(2)} {W(4)}", "and"), (W(1000), "or"),
-    ] * 2
+    ]
+    workload = {f"q{i}_{j}": (q, m) for j in range(4) for i, (q, m) in enumerate(base)}
+    search(spark, idx, base[0][0]).collect()  # warm the python workers
     t0 = time.time()
-    for q, mode in workload:
-        search(spark, idx, q, mode=mode).collect()
+    search_many(spark, idx, workload).collect()  # batch-serving path
     qps_s = time.time() - t0
     out["query_qps"] = round(len(workload) / qps_s, 2)
-    out["query_avg_sec"] = round(qps_s / len(workload), 3)
+    t0 = time.time()
+    search(spark, idx, base[0][0]).collect()  # single-query latency
+    out["query_latency_sec"] = round(time.time() - t0, 3)
     corpus.unpersist()
 
     # --- headline per-query timings at the sf dir ---

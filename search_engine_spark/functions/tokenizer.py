@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -160,3 +161,57 @@ def tokens_frame(df, text_col: str = "text", id_col: str = "doc_id"):
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokenize_udf(F.col(text_col))).alias("pos", "term"),
     )
+
+
+INVERT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("term", StringType(), False),
+        StructField("tf", IntegerType(), False),
+        StructField("positions", ArrayType(IntegerType()), False),
+        StructField("doclen", IntegerType(), False),
+    ]
+)
+
+
+def inverted_frame(docs, tf_cap: int = 2048, text_col: str = "text"):
+    """documents -> per-doc inverted posting rows, map-side (NO shuffle).
+
+    The classic document-inversion move: tokenize and group per document
+    inside one Arrow batch pass, emitting (doc_id, term, tf, positions,
+    doclen) directly. Replaces the tokens-explode + groupBy(term, doc_id)
+    shuffle of ~L tokens with a narrow pass emitting ~V distinct-term rows
+    per doc — the single biggest build-time win (the only remaining build
+    shuffles key on term for stats/blocks). tf/positions capped at 2048
+    (term-index/term-index.cpp:269-274); doclen is the uncapped count.
+
+    Docs with zero tokens emit no rows (doc_meta recovers them by left
+    join, postings.doc_meta()).
+    """
+
+    def invert(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            o_doc: list[int] = []
+            o_term: list[str] = []
+            o_tf: list[int] = []
+            o_pos: list[list[int]] = []
+            o_dl: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                toks = tokenize_text(text) if isinstance(text, str) else []
+                dl = len(toks)
+                groups: dict[str, list[int]] = {}
+                for p, t in enumerate(toks):
+                    groups.setdefault(t, []).append(p)
+                for t, pos in groups.items():
+                    o_doc.append(doc_id)
+                    o_term.append(t)
+                    o_tf.append(min(len(pos), tf_cap))
+                    o_pos.append(pos[:tf_cap])
+                    o_dl.append(dl)
+            yield pd.DataFrame(
+                {"doc_id": o_doc, "term": o_term, "tf": o_tf, "positions": o_pos, "doclen": o_dl}
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(invert, INVERT_SCHEMA)

@@ -24,7 +24,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.tokenizer import tokens_frame
+from ..functions.tokenizer import inverted_frame
 from ..operators import postings as P
 from ..operators.blocks import DEFAULT_BLOCK, pack_blocks
 from ..operators.docids import assign_doc_ids
@@ -75,10 +75,10 @@ def build_index(
         docs = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
 
     docs = docs.select("doc_id", "url", "text")
-    tokens = tokens_frame(docs)
-    rows = P.posting_rows(tokens)
-    dmeta = P.doc_meta(tokens, docs)
-    rows_dl = rows.join(dmeta, "doc_id")  # denormalize doclen into postings
+    # map-side document inversion: tokenize + per-doc group in one narrow
+    # Arrow pass; doclen already denormalized (no doc_id shuffle at all)
+    rows_dl = inverted_frame(docs)
+    dmeta = P.doc_meta_from_inverted(rows_dl, docs)
     if persist:
         rows_dl = rows_dl.persist()
         dmeta = dmeta.persist()

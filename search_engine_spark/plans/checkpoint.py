@@ -25,7 +25,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.tokenizer import tokens_frame
+from ..functions.tokenizer import inverted_frame
 from ..operators import postings as P
 from ..operators.docids import assign_doc_ids
 
@@ -73,12 +73,11 @@ def build_partitioned(
             continue
         t0 = time.time()
         part = docs.filter(F.col("part_id") == pid)
-        tokens = tokens_frame(part)
-        rows = P.posting_rows(tokens)
-        lens = tokens.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("doclen"))
+        inv = inverted_frame(part)
+        lens = inv.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
         part_docs = part.select("doc_id", "url", "text")
         delta_dir = os.path.join(path, f"delta_p{pid:04d}")
-        rows.join(lens, "doc_id").write.mode("overwrite").parquet(os.path.join(delta_dir, "postings"))
+        inv.write.mode("overwrite").parquet(os.path.join(delta_dir, "postings"))
         part_docs.join(lens, "doc_id", "left").select(
             "doc_id", "url", "text", F.coalesce("doclen", F.lit(0)).alias("doclen")
         ).write.mode("overwrite").parquet(os.path.join(delta_dir, "docs"))

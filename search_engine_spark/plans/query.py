@@ -87,7 +87,11 @@ class QueryResult:
 
 
 def _query_terms_with_idf(index: InvertedIndex, terms: list[str]) -> dict[str, float]:
-    """Resolve df for each keyword (reference Q3/Q5) -> idf map.
+    """Resolve df for each keyword (reference Q3/Q5) -> idf map (driver side).
+
+    Only the WAND path needs idfs on the driver (for the metadata sweep);
+    the normal path computes idf inside the plan (_qterms_idf_df) to avoid
+    an extra blocking job per query.
 
     Absent terms get no posting rows; in AND mode the count predicate then
     yields the empty set (postmerge.c:228-236 NULL posting semantics).
@@ -101,6 +105,33 @@ def _query_terms_with_idf(index: InvertedIndex, terms: list[str]) -> dict[str, f
     return {t: S.idf(float(dfmap.get(t, 0)), float(index.docN)) for t in terms}
 
 
+def _qterms_idf_df(
+    spark: SparkSession, index: InvertedIndex, qterms: list[tuple[str, int, str]]
+) -> DataFrame:
+    """(qid, kw_idx, term) rows -> + idf column, computed in-plan.
+
+    The df lookup is a broadcast join of the tiny keyword frame against
+    term_stats filtered by term (predicate pushdown / dictionary skipping
+    does the posting-dictionary seek the reference does via Indri's
+    term_lookup, search/search.c:48-60). One plan, no driver round-trip.
+    """
+    kw = spark.createDataFrame(qterms, "qid string, kw_idx int, term string")
+    ts = index.term_stats.filter(
+        F.col("term").isin([t for _, _, t in qterms])
+    ).select("term", "df")
+    joined = kw.join(F.broadcast(ts), "term", "left")
+    docN = float(index.docN)
+    return joined.select(
+        "qid",
+        "kw_idx",
+        "term",
+        F.log(
+            (F.lit(docN) - F.coalesce(F.col("df"), F.lit(0)).cast("double") + F.lit(0.5))
+            / (F.coalesce(F.col("df"), F.lit(0)).cast("double") + F.lit(0.5))
+        ).alias("idf"),
+    )
+
+
 def _candidate_rows(index: InvertedIndex, terms: list[str], use_blocks: bool, with_positions: bool) -> DataFrame:
     if use_blocks:
         blk = index.blocks.filter(F.col("term").isin(terms))
@@ -111,21 +142,24 @@ def _candidate_rows(index: InvertedIndex, terms: list[str], use_blocks: bool, wi
 def _score_frame(
     index: InvertedIndex,
     rows: DataFrame,
-    terms: list[str],
-    idfs: dict[str, float],
+    kw: DataFrame,
     mode: str,
     with_prox: bool,
+    n_terms_by_qid: dict[str, int],
+    grouped_by_qid: bool = False,
 ) -> DataFrame:
-    """Per-candidate-doc total score (reference Q7/Q8/Q9/Q11/Q12)."""
-    spark = rows.sparkSession
-    kw = spark.createDataFrame(
-        [(i, t, float(idfs[t])) for i, t in enumerate(terms)],
-        "kw_idx int, term string, idf double",
-    )
+    """Per-candidate-doc total score (reference Q7/Q8/Q9/Q11/Q12).
+
+    ``kw``: (qid, kw_idx, term, idf) frame — broadcast-joined onto the
+    candidate posting rows; the per-doc hash aggregate IS the OR merge
+    (postmerge.c:75-101), the n_matched predicate IS the AND merge
+    (postmerge.c:103-140).
+    """
     joined = rows.join(F.broadcast(kw), "term")
     scored = joined.withColumn(
         "term_score", F.col("idf") * S.tf_norm_col(F.col("tf"), F.col("doclen"), index.avgdl)
     )
+    keys = ["qid", "doc_id"] if grouped_by_qid else ["doc_id"]
     agg_cols = [
         (F.lit(1.0) + F.sum(F.when(F.col("term_score") != 0.0, F.col("term_score")).otherwise(0.0))).alias("bm25"),
         F.sum(F.when(F.col("term_score") != 0.0, 1.0).otherwise(0.0)).alias("match_dim"),
@@ -135,9 +169,17 @@ def _score_frame(
         agg_cols.append(
             F.collect_list(F.struct(F.col("kw_idx"), F.col("positions"))).alias("pos_in")
         )
-    per_doc = scored.groupBy("doc_id").agg(*agg_cols)
+    per_doc = scored.groupBy(*keys).agg(*agg_cols)
     if mode == "and":
-        per_doc = per_doc.filter(F.col("n_matched_terms") == len(terms))
+        if grouped_by_qid:
+            nmap = F.create_map(
+                *[x for qid, n in n_terms_by_qid.items() for x in (F.lit(qid), F.lit(n))]
+            )
+            per_doc = per_doc.filter(F.col("n_matched_terms") == nmap[F.col("qid")])
+        else:
+            per_doc = per_doc.filter(
+                F.col("n_matched_terms") == next(iter(n_terms_by_qid.values()))
+            )
     if with_prox:
         per_doc = per_doc.withColumn("prox", _prox_udf(F.col("pos_in"))).drop("pos_in")
     else:
@@ -178,11 +220,11 @@ def search(
     terms = digest_query(qtext)
     if not terms:
         return spark.createDataFrame(
-            [], "doc_id long, bm25 double, match_dim double, n_matched_terms long, prox float, score double"
+            [], "doc_id long, bm25 double, match_dim double, n_matched_terms long, prox double, score double"
         )
-    idfs = _query_terms_with_idf(index, terms)
 
     if wand and use_blocks:
+        idfs = _query_terms_with_idf(index, terms)
         pruned = _wand_prune(spark, index, terms, idfs, mode, with_prox, k, meta_cap)
         if pruned is not None:
             return top_k(pruned, k).select(
@@ -190,9 +232,67 @@ def search(
             )
 
     rows = _candidate_rows(index, terms, use_blocks, with_positions=with_prox)
-    per_doc = _score_frame(index, rows, terms, idfs, mode, with_prox)
+    kw = _qterms_idf_df(spark, index, [("q", i, t) for i, t in enumerate(terms)])
+    per_doc = _score_frame(index, rows, kw, mode, with_prox, {"q": len(terms)})
     return top_k(per_doc, k).select(
         "doc_id", "bm25", "match_dim", "n_matched_terms", "prox", "score"
+    )
+
+
+def search_many(
+    spark: SparkSession,
+    index: InvertedIndex,
+    queries: dict[str, tuple[str, str]],
+    k: int = S.RANK_K,
+    use_blocks: bool = True,
+    with_prox: bool = True,
+) -> DataFrame:
+    """Batch query execution: score N queries in ONE plan.
+
+    ``queries``: qid -> (qtext, mode). Returns
+    (qid, rank, doc_id, bm25, match_dim, n_matched_terms, prox, score).
+
+    This is the throughput-serving shape: the keyword frame carries a qid
+    column, candidates fan out per (qid, term), one hash aggregate scores
+    every (qid, doc), and a qid-partitioned window takes each query's
+    top-k. Amortizes job/scan overhead across the whole workload — the
+    Spark analogue of the reference daemon handling concurrent requests
+    (searchd/run/searchd.c) — while per-query results stay identical to
+    ``search()`` (asserted in tests).
+    """
+    digested = {qid: digest_query(qtext) for qid, (qtext, _) in queries.items()}
+    modes = {qid: mode for qid, (_, mode) in queries.items()}
+    kw_rows = [
+        (qid, i, t) for qid, terms in digested.items() for i, t in enumerate(terms)
+    ]
+    if not kw_rows:
+        return spark.createDataFrame(
+            [],
+            "qid string, rank int, doc_id long, bm25 double, match_dim double, "
+            "n_matched_terms long, prox double, score double",
+        )
+    all_terms = sorted({t for _, _, t in kw_rows})
+    rows = _candidate_rows(index, all_terms, use_blocks, with_positions=with_prox)
+    kw = _qterms_idf_df(spark, index, kw_rows)
+    per_doc = _score_frame(
+        index, rows, kw, "or", with_prox,
+        {qid: len(ts) for qid, ts in digested.items()}, grouped_by_qid=True,
+    )
+    and_qids = [qid for qid, m in modes.items() if m == "and"]
+    if and_qids:
+        nmap = F.create_map(
+            *[x for qid in and_qids for x in (F.lit(qid), F.lit(len(digested[qid])))]
+        )
+        per_doc = per_doc.filter(
+            (~F.col("qid").isin(and_qids)) | (F.col("n_matched_terms") == nmap[F.col("qid")])
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "bm25", "match_dim", "n_matched_terms", "prox", "score")
     )
 
 
@@ -250,6 +350,11 @@ def _wand_prune(
     meta = meta_df.toPandas()
     if meta.empty:
         return None
+    kw = spark.createDataFrame(
+        [("q", i, t, float(idfs[t])) for i, t in enumerate(terms)],
+        "qid string, kw_idx int, term string, idf double",
+    )
+    n_by_qid = {"q": len(terms)}
 
     # phase 1: exact scores over the best block's doc range -> threshold
     ubs = meta["block_max_tfn"].to_numpy() * meta["term"].map(idfs).to_numpy()
@@ -263,7 +368,7 @@ def _wand_prune(
     seed_rows = unpack_blocks(seed_blocks, with_positions=with_prox).filter(
         (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
     )
-    seed_scores = _score_frame(index, seed_rows, terms, idfs, mode, with_prox)
+    seed_scores = _score_frame(index, seed_rows, kw, mode, with_prox, n_by_qid)
     kth = seed_scores.orderBy(F.desc("score")).limit(k).collect()
     if len(kth) < k:
         thresh = -math.inf
@@ -286,4 +391,4 @@ def _wand_prune(
         c = (F.col("doc_id") >= s) & (F.col("doc_id") <= e)
         dcond = c if dcond is None else (dcond | c)
     rows = rows.filter(dcond)
-    return _score_frame(index, rows, terms, idfs, mode, with_prox)
+    return _score_frame(index, rows, kw, mode, with_prox, n_by_qid)
