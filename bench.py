@@ -41,7 +41,8 @@ def _run_workload(cpus: int, sf_dir: str, n_docs: int) -> dict:
     out: dict = {"cpus": cpus}
 
     # --- index build throughput (docs/sec) on the synthetic web corpus ---
-    corpus = synth_corpus(spark, n_docs, n_parts=max(cpus, n_docs // 2500))
+    # >=4 input splits per core so the tokenize stage load-balances
+    corpus = synth_corpus(spark, n_docs, n_parts=max(4 * cpus, n_docs // 2500))
     corpus = corpus.persist()
     corpus.count()  # materialize input so we time the build, not generation
     t0 = time.time()
@@ -65,7 +66,11 @@ def _run_workload(cpus: int, sf_dir: str, n_docs: int) -> dict:
         (f"{W(0)} {W(7)}", "or"), (f"{W(5)} {W(6)} {W(11)}", "or"),
         (f"{W(200)} {W(300)}", "or"), (f"{W(2)} {W(4)}", "and"), (W(1000), "or"),
     ]
-    workload = {f"q{i}_{j}": (q, m) for j in range(4) for i, (q, m) in enumerate(base)}
+    workload = {
+        f"q{i}_{j}": (f"{q} {W(17 * j + 23)}" if j % 2 else q, m)
+        for j in range(8)
+        for i, (q, m) in enumerate(base)
+    }
     search(spark, idx, base[0][0]).collect()  # warm the python workers
     t0 = time.time()
     search_many(spark, idx, workload).collect()  # batch-serving path
@@ -100,6 +105,8 @@ def main() -> None:
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
 
     if "--scaling" in sys.argv:
+        # scaling evidence needs a compute-dominated run: bigger corpus
+        n_docs = int(os.environ.get("SCALING_DOCS", "100000"))
         results = {}
         for c in (8, 32):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(c), BENCH_DOCS=str(n_docs))
@@ -108,7 +115,7 @@ def main() -> None:
                 env=env, capture_output=True, text=True, check=True,
             )
             results[c] = json.loads(r.stdout.strip().splitlines()[-1])
-        t8, t32 = results[8]["index_docs_per_sec"], results[32]["index_docs_per_sec"]
+        t8, t32 = results[8]["value"], results[32]["value"]
         q8, q32 = results[8]["query_qps"], results[32]["query_qps"]
         eff_build = (t32 / t8) / 4
         eff_qps = (q32 / q8) / 4

@@ -1,0 +1,85 @@
+"""Math index build: documents -> subpath posting table (reference
+math-index/ role).
+
+The reference materializes one filesystem directory per subpath with packed
+{exp_id, doc_id, pathinfo} records (math-index/math-posting.h:10-32,
+math-index.c:103-151). Set-oriented re-expression: one table
+
+  math_postings(subpath STRING, is_gener BOOLEAN, doc_id LONG,
+                exp_id INT, n_paths INT)
+
+partitionable by bucket(subpath) at scale — the subpath string IS the
+directory key. Extraction mirrors the tokenizer's math-slice semantics
+(complete [imath]..[/imath] spans; everything after an unterminated open
+tag is swallowed); parse failures skip the expression like the reference's
+n_parse_err counter (indexer/index.c:82-94).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .texparse import tex_subpaths
+
+_OPEN, _CLOSE = "[imath]", "[/imath]"
+
+MATH_POSTING_SCHEMA = StructType(
+    [
+        StructField("subpath", StringType(), False),
+        StructField("is_gener", BooleanType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("exp_id", IntegerType(), False),
+        StructField("n_paths", IntegerType(), False),
+    ]
+)
+
+
+def extract_math_spans(text: str) -> list[str]:
+    """Complete [imath]..[/imath] bodies in order (tokenizer-aligned)."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        start = text.find(_OPEN, pos)
+        if start < 0:
+            break
+        close = text.find(_CLOSE, start + len(_OPEN))
+        if close < 0:
+            break  # unterminated: remainder swallowed, no more spans
+        out.append(text[start + len(_OPEN) : close])
+        pos = close + len(_CLOSE)
+    return out
+
+
+def build_math_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> math_postings. Narrow Arrow pass, no shuffle."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {"subpath": [], "is_gener": [], "doc_id": [], "exp_id": [], "n_paths": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue
+                for exp_id, tex in enumerate(extract_math_spans(text)):
+                    paths = tex_subpaths(tex)
+                    for p, g in paths:
+                        rows["subpath"].append(p)
+                        rows["is_gener"].append(g)
+                        rows["doc_id"].append(doc_id)
+                        rows["exp_id"].append(exp_id)
+                        rows["n_paths"].append(len(paths))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(extract, MATH_POSTING_SCHEMA)

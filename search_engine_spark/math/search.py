@@ -1,0 +1,151 @@
+"""Math expression search + mixed-query scoring (reference Q19-Q21 + Q11).
+
+Reference flow: per TEX keyword, AND-merge the per-subpath posting lists on
+the (doc_id, exp_id) composite key, score each matched expression with the
+MNC bipartite match, keep each doc's max expression score, then feed those
+transient postings into the top-level OR merge beside the term postings
+(search/math-expr-search.c:150-264, math-search.c:117-209, search.c:120-135).
+
+Set-oriented re-expression: join the (tiny, broadcast) query-subpath frame
+against math_postings, aggregate matched weights per (doc_id, exp_id), take
+per-doc max. Similarity (MNC-lite, documented deviation from
+search/mnc-score.c): concrete subpath matches weigh 2, gener (alpha-
+equivalent) matches weigh 1; containment score scaled by an expression-size
+symmetry penalty:
+
+    sim = (matched_w / denom_q) * (min(nq, nd) / max(nq, nd))
+
+so exact-symbol matches rank above alpha-equivalent ones and structurally
+smaller/larger expressions rank below same-shape ones — reproducing the
+reference golden-test ORDERINGS (alpha-equivalence, non-commutative,
+wildcard) without the per-pair bipartite loop, which keeps scoring a pure
+column aggregate at 10^12-doc scale.
+
+Mixed total score is the reference formula verbatim (search/search.c:253-274):
+  total = prox + (1 + max_math)/2 * bm25 + 10000 * (match_dim + [max_math>0])
+Proximity uses term-keyword positions (deviation: the reference also feeds
+matched expression positions; our math postings don't carry positions).
+"""
+
+from __future__ import annotations
+
+import math as _math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import scoring as S
+from ..plans.build import InvertedIndex
+from ..plans.query import _prox_udf, _qterms_idf_df, _score_frame, digest_query, top_k
+from .index import extract_math_spans
+from .texparse import tex_subpaths
+
+
+def math_expr_scores(spark: SparkSession, math_postings: DataFrame, tex: str) -> DataFrame:
+    """One TEX keyword -> (doc_id, math_score) with per-doc max expr sim."""
+    qpaths = tex_subpaths(tex)
+    if not qpaths:
+        return spark.createDataFrame([], "doc_id long, math_score double")
+    denom = float(sum(2 if not g else 1 for _, g in qpaths))
+    nq = len(qpaths)
+    qdf = spark.createDataFrame(
+        [(p, g, 2.0 if not g else 1.0) for p, g in qpaths],
+        "subpath string, is_gener boolean, w double",
+    )
+    matched = math_postings.join(F.broadcast(qdf), ["subpath", "is_gener"])
+    per_exp = matched.groupBy("doc_id", "exp_id").agg(
+        F.sum("w").alias("mw"),
+        F.count(F.lit(1)).alias("n_matched"),
+        F.max("n_paths").alias("nd"),
+    )
+    sim = (F.col("mw") / F.lit(denom)) * (
+        F.least(F.lit(nq), F.col("nd")) / F.greatest(F.lit(nq), F.col("nd"))
+    )
+    return per_exp.select("doc_id", sim.alias("sim")).groupBy("doc_id").agg(
+        F.max("sim").alias("math_score")
+    )
+
+
+def split_query(qtext: str) -> tuple[list[str], list[str]]:
+    """Mixed query -> (term keywords, tex keywords).
+
+    TEX spans come out verbatim; the remaining text digests through the
+    term tokenizer (which would have emitted math_exp placeholders — those
+    are dropped here because the TEX keywords replace them, matching the
+    reference's typed-keyword query model, search/query.h:9-32).
+    """
+    texes = extract_math_spans(qtext)[:4]  # searchd/config.h:23 max 4 math kw
+    terms = [t for t in digest_query(qtext) if t != "math_exp"]
+    return terms, texes
+
+
+def mixed_search(
+    spark: SparkSession,
+    index: InvertedIndex,
+    math_postings: DataFrame,
+    qtext: str,
+    mode: str = "or",
+    k: int = S.RANK_K,
+    with_prox: bool = True,
+) -> DataFrame:
+    """Full mixed term+math query -> top-k
+    (doc_id, bm25, match_dim, max_math, prox, score)."""
+    terms, texes = split_query(qtext)
+
+    # per-doc max over all TEX keywords (reference keeps a global max,
+    # search/search.c:222-229 max_math_score)
+    math_df = None
+    for tex in texes:
+        mdf = math_expr_scores(spark, math_postings, tex)
+        math_df = mdf if math_df is None else math_df.unionByName(mdf)
+    if math_df is not None:
+        math_df = math_df.groupBy("doc_id").agg(F.max("math_score").alias("max_math"))
+
+    if terms:
+        from ..plans.query import _candidate_rows
+
+        rows = _candidate_rows(index, terms, use_blocks=True, with_positions=with_prox)
+        kw = _qterms_idf_df(spark, index, [("q", i, t) for i, t in enumerate(terms)])
+        per_doc = _score_frame(index, rows, kw, mode, with_prox, {"q": len(terms)}).select(
+            "doc_id", "bm25", "match_dim", "prox"
+        )
+    else:
+        per_doc = None
+
+    ln03 = float(_math.log(0.3))
+    if per_doc is None and math_df is None:
+        return spark.createDataFrame(
+            [], "doc_id long, bm25 double, match_dim double, max_math double, prox double, score double"
+        )
+    if per_doc is None:
+        combined = math_df.select(
+            "doc_id",
+            F.lit(1.0).alias("bm25"),
+            F.lit(0.0).alias("match_dim"),
+            F.col("max_math"),
+            F.lit(ln03).alias("prox"),
+        )
+    elif math_df is None:
+        combined = per_doc.withColumn("max_math", F.lit(0.0))
+    else:
+        # top level is an OR merge in the reference (search/search.c:374);
+        # for mode='and' the term-side predicate already filtered per_doc,
+        # so a left join keeps "all term keywords + optional math" semantics
+        how = "left" if mode == "and" else "full"
+        combined = per_doc.join(math_df, "doc_id", how).select(
+            "doc_id",
+            F.coalesce("bm25", F.lit(1.0)).alias("bm25"),
+            F.coalesce("match_dim", F.lit(0.0)).alias("match_dim"),
+            F.coalesce("max_math", F.lit(0.0)).alias("max_math"),
+            F.coalesce("prox", F.lit(ln03)).alias("prox"),
+        )
+
+    total = (
+        F.col("prox")
+        + (F.lit(1.0) + F.col("max_math")) / F.lit(2.0) * F.col("bm25")
+        + F.lit(S.MATCH_DIM_WEIGHT)
+        * (F.col("match_dim") + F.when(F.col("max_math") > 0, 1.0).otherwise(0.0))
+    )
+    scored = combined.withColumn("score", total)
+    return top_k(scored, k).select(
+        "doc_id", "bm25", "match_dim", "max_math", "prox", "score"
+    )

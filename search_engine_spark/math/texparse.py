@@ -1,0 +1,297 @@
+"""TeX -> operator tree -> leaf-root subpaths (reference tex-parser/ role).
+
+A from-scratch recursive-descent parser over a practical TeX subset (the
+reference uses a 530-line bison grammar + 975-line flex lexer,
+tex-parser/grammar.y; we cover the operator classes its golden tests
+exercise: +/- (ADD/NEG), implicit & explicit multiplication (TIMES),
+fractions, division, sqrt/root, sub/superscripts, relations, function
+classes like \\sum \\int \\sin, parens/braces, \\qvar wildcards, greek and
+latin symbols).
+
+Subpath model (math-index/subpath-set.c, math-index.h OPT_SUBPATH):
+each LEAF contributes the path of operator tokens from itself to the root.
+- unordered operators (ADD, TIMES, REL) carry no child rank => sibling
+  order is not encoded => commutativity is free (a+b == b+a);
+- ordered operators (FRAC, SUP, SUB, ROOT) append #rank so a/b != b/a;
+- every path is emitted twice: the CONCRETE path keeps the leaf symbol
+  (VAR(a), NUM(1)); the GENER path erases it to a placeholder (the
+  reference's gener-path mechanism, math-index/config.h GENER_PATH_NAME)
+  => alpha-equivalence: x+1/x matches a+1/a via gener paths, while
+  same-symbol matches additionally hit the concrete paths and rank higher
+  (reference test cases/math-rank/alpha-equvalence.txt semantics);
+- \\qvar{..} wildcard leaves emit only gener paths (wildcard.txt case).
+
+This is an MVP re-expression, not a port: scoring uses a containment
+similarity over matched path sets (see search.py) instead of the reference
+MNC bipartite match (search/mnc-score.c) — documented deviation.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+UNORDERED = {"add", "times", "rel", "fun", "sep"}
+ORDERED = {"frac", "sup", "sub", "root", "neg", "fact"}
+
+_GREEK = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi "
+    "pi rho sigma tau upsilon phi chi psi omega infty"
+).split()
+_FUNS = "sin cos tan log ln exp lim min max sup inf det gcd".split()
+_BIGOPS = "sum prod int oint iint coprod bigcup bigcap".split()
+_RELS = {"=": "eq", "<": "lt", ">": "gt", "le": "le", "ge": "ge", "leq": "le",
+         "geq": "ge", "ne": "neq", "neq": "neq", "approx": "approx", "equiv": "equiv",
+         "subset": "subset", "in": "in", "to": "to", "rightarrow": "to"}
+_IGNORED_CMDS = {"left", "right", "big", "Big", "bigg", "Bigg", "limits", "nolimits",
+                 "quad", "qquad", ",", ";", "!", " ", "mathrm", "mathbf", "mathit", "text"}
+
+_TOKEN_RE = re.compile(
+    r"\\[a-zA-Z]+|\\[,;! ]|[0-9]+(?:\.[0-9]+)?|[a-zA-Z]|[+\-*/^_=<>(){}\[\]!|,]|\S"
+)
+
+
+@dataclass
+class Node:
+    op: str  # operator token, or "var"/"num"/"qvar" for leaves
+    sym: str = ""  # leaf symbol (variable name / number literal)
+    children: list["Node"] = field(default_factory=list)
+
+    @property
+    def is_leaf(self) -> bool:
+        return not self.children
+
+
+class TexParseError(ValueError):
+    pass
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> str | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise TexParseError("unexpected end of input")
+        self.i += 1
+        return t
+
+    # rel := expr (REL expr)*
+    def parse_rel(self) -> Node:
+        left = self.parse_expr()
+        rels = []
+        while True:
+            t = self.peek()
+            name = None
+            if t in ("=", "<", ">"):
+                name = _RELS[t]
+            elif t and t.startswith("\\") and t[1:] in _RELS:
+                name = _RELS[t[1:]]
+            if name is None:
+                break
+            self.next()
+            right = self.parse_expr()
+            rels.append((name, right))
+        if not rels:
+            return left
+        # relation chain: unordered rel node over operands + rel-name leaves
+        children = [left]
+        for name, right in rels:
+            children.append(Node("var", sym=f"rel:{name}"))
+            children.append(right)
+        return Node("rel", children=children)
+
+    # expr := ['-'] term (('+'|'-') term)*
+    def parse_expr(self) -> Node:
+        terms = []
+        t = self.peek()
+        if t in ("+", "-"):
+            self.next()
+            first = self.parse_term()
+            terms.append(Node("neg", children=[first]) if t == "-" else first)
+        else:
+            terms.append(self.parse_term())
+        while self.peek() in ("+", "-"):
+            opt = self.next()
+            nxt = self.parse_term()
+            terms.append(Node("neg", children=[nxt]) if opt == "-" else nxt)
+        if len(terms) == 1:
+            return terms[0]
+        return Node("add", children=terms)
+
+    # term := factor (('*'|'/'|juxtaposition) factor)*
+    def parse_term(self) -> Node:
+        factors = [self.parse_factor()]
+        while True:
+            t = self.peek()
+            if t in ("*",) or t in ("\\cdot", "\\times"):
+                self.next()
+                factors.append(self.parse_factor())
+            elif t == "/":
+                self.next()
+                denom = self.parse_factor()
+                num = factors.pop() if len(factors) == 1 else Node("times", children=factors)
+                factors = [Node("frac", children=[num, denom])]
+            elif t is not None and self._starts_factor(t):
+                factors.append(self.parse_factor())  # juxtaposition => TIMES
+            else:
+                break
+        if len(factors) == 1:
+            return factors[0]
+        return Node("times", children=factors)
+
+    def _starts_factor(self, t: str) -> bool:
+        if t in ("(", "{", "[", "|"):
+            return t != "["  # brackets after commands handled elsewhere
+        if re.fullmatch(r"[0-9]+(?:\.[0-9]+)?|[a-zA-Z]", t):
+            return True
+        if t.startswith("\\"):
+            name = t[1:]
+            return (
+                name in _GREEK
+                or name in _FUNS
+                or name in _BIGOPS
+                or name in ("frac", "sqrt", "qvar")
+                or name in _IGNORED_CMDS
+            )
+        return False
+
+    # factor := base (('^'|'_') base | '!')*
+    def parse_factor(self) -> Node:
+        base = self.parse_base()
+        while self.peek() in ("^", "_", "!"):
+            t = self.next()
+            if t == "!":
+                base = Node("fact", children=[base])
+                continue
+            script = self.parse_base()
+            base = Node("sup" if t == "^" else "sub", children=[base, script])
+        return base
+
+    def parse_base(self) -> Node:
+        t = self.next()
+        if t == "(":
+            inner = self.parse_rel()
+            if self.peek() == ")":
+                self.next()
+            return inner
+        if t == "{":
+            inner = self.parse_rel()
+            if self.peek() == "}":
+                self.next()
+            return inner
+        if t == "|":
+            inner = self.parse_rel()
+            if self.peek() == "|":
+                self.next()
+            return Node("fun", children=[Node("var", sym="fun:abs"), inner])
+        if re.fullmatch(r"[0-9]+(?:\.[0-9]+)?", t):
+            return Node("num", sym=t)
+        if re.fullmatch(r"[a-zA-Z]", t):
+            return Node("var", sym=t)
+        if t.startswith("\\"):
+            name = t[1:]
+            if name in _IGNORED_CMDS:
+                return self.parse_base()
+            if name in _GREEK:
+                return Node("var", sym=name)
+            if name == "qvar":
+                if self.peek() == "{":
+                    self.next()
+                    depth = 1
+                    while depth and self.peek() is not None:
+                        nt = self.next()
+                        depth += nt == "{"
+                        depth -= nt == "}"
+                return Node("qvar", sym="*")
+            if name == "frac":
+                a = self.parse_base()
+                b = self.parse_base()
+                return Node("frac", children=[a, b])
+            if name == "sqrt":
+                if self.peek() == "[":
+                    self.next()
+                    order = self.parse_rel()
+                    if self.peek() == "]":
+                        self.next()
+                    body = self.parse_base()
+                    return Node("root", children=[order, body])
+                return Node("root", children=[Node("num", sym="2"), self.parse_base()])
+            if name in _FUNS or name in _BIGOPS:
+                head = Node("var", sym=f"fun:{name}")
+                node = Node("fun", children=[head])
+                while self.peek() in ("^", "_"):
+                    s = self.next()
+                    script = self.parse_base()
+                    node = Node("sup" if s == "^" else "sub", children=[node, script])
+                if self.peek() is not None and self._starts_factor(self.peek()):
+                    node = Node("fun", children=[node, self.parse_factor()])
+                return node
+            # unknown command: treat as an opaque symbol leaf
+            return Node("var", sym=name)
+        if t == ",":
+            return Node("var", sym="sep:comma")
+        raise TexParseError(f"unexpected token {t!r}")
+
+
+def tex_parse(tex: str) -> Node:
+    """Parse a TeX snippet into an operator tree. Raises TexParseError."""
+    toks = [t for t in _TOKEN_RE.findall(tex) if t.strip()]
+    if not toks:
+        raise TexParseError("empty expression")
+    p = _Parser(toks)
+    node = p.parse_rel()
+    while p.peek() is not None:
+        # trailing content (e.g. comma lists): fold into a SEP group
+        rest = p.parse_rel()
+        node = Node("sep", children=[node, rest])
+    return node
+
+
+MAX_SUBPATHS = 64  # reference cap (tex-parser decompose limit, SURVEY §2 I6)
+
+
+def subpaths(node: Node) -> list[tuple[str, bool]]:
+    """Operator tree -> leaf-root subpaths [(path, is_gener)].
+
+    Concrete path example for a+1/a:  'VAR(a)/add', 'NUM(1)/frac#1/add',
+    'VAR(a)/frac#2/add'; gener twin erases the leaf: 'V/add', ...
+    """
+    out: list[tuple[str, bool]] = []
+
+    def walk(n: Node, trail: list[str]) -> None:
+        if len(out) >= 2 * MAX_SUBPATHS:
+            return
+        if n.is_leaf:
+            up = "/".join(reversed(trail)) if trail else ""
+            suffix = ("/" + up) if up else ""
+            if n.op == "qvar":
+                out.append(("V" + suffix, True))
+            elif n.op == "num":
+                out.append((f"NUM({n.sym})" + suffix, False))
+                out.append(("N" + suffix, True))
+            else:
+                out.append((f"VAR({n.sym})" + suffix, False))
+                out.append(("V" + suffix, True))
+            return
+        for rank, child in enumerate(n.children, start=1):
+            tag = f"{n.op}#{rank}" if n.op in ORDERED else n.op
+            walk(child, [*trail, tag])
+
+    walk(node, [])
+    # dedup (subpath-set semantics: a SET of paths, subpath-set.c:25-37)
+    return sorted(set(out))
+
+
+def tex_subpaths(tex: str) -> list[tuple[str, bool]]:
+    """Parse + decompose; returns [] on parse failure (the reference counts
+    parse errors and skips the expression, indexer/index.c:82-94)."""
+    try:
+        return subpaths(tex_parse(tex))
+    except TexParseError:
+        return []

@@ -1,0 +1,125 @@
+"""Math index + expression search golden tests, modeled on the reference's
+tests/cases/math-rank suite (alpha-equivalence, commutativity,
+non-commutative fractions, wildcards): each case is a query plus docs in
+expected rank order (HIT lines) and docs that must not outrank them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.math.index import build_math_index, extract_math_spans
+from search_engine_spark.math.search import math_expr_scores, mixed_search, split_query
+from search_engine_spark.math.texparse import tex_parse, tex_subpaths
+from search_engine_spark.plans.build import build_index
+
+
+def test_parser_structures():
+    assert tex_subpaths("a+b") == tex_subpaths("b+a")  # commutativity
+    assert tex_subpaths("a/b") != tex_subpaths("b/a")  # ordered frac
+    assert tex_subpaths("\\frac{a}{b}") == tex_subpaths("a/b")
+    assert tex_subpaths("{a}+{b}") == tex_subpaths("a+b")
+    a, b = tex_subpaths("a+\\frac 1 a"), tex_subpaths("b+\\frac 1 b")
+    assert {p for p, g in a if g} == {p for p, g in b if g}  # alpha-equal
+    assert {p for p, g in a if not g} != {p for p, g in b if not g}
+    assert tex_subpaths("") == []
+    assert tex_subpaths("\\badcmd{") is not None  # robust, no raise
+
+
+def test_extract_math_spans():
+    assert extract_math_spans("x [imath]a+b[/imath] y [imath]c[/imath]") == ["a+b", "c"]
+    assert extract_math_spans("[imath]unterminated") == []
+    assert extract_math_spans("[imath]a[/imath] [imath]oops") == ["a"]
+
+
+MATH_DOCS = [
+    # (key, text)
+    ("exact", "see [imath]a+\\frac 1 a[/imath] here"),
+    ("alpha", "see [imath]b+\\frac 1 b[/imath] here"),
+    ("commut", "see [imath]\\frac 1 a + a[/imath] here"),
+    ("partial", "see [imath]a+c[/imath] here"),
+    ("unrelated", "see [imath]x^2=y[/imath] here"),
+    ("frac_ab", "frac [imath]\\frac{a}{b}[/imath] doc"),
+    ("frac_ba", "frac [imath]\\frac{b}{a}[/imath] doc"),
+    ("sq_a", "pow [imath]a^2[/imath] doc"),
+    ("sq_b", "pow [imath]b^2[/imath] doc"),
+    ("cube_a", "pow [imath]a^3[/imath] doc"),
+    ("nomath", "plain words only here"),
+]
+KEY_TO_ID = {k: i + 1 for i, (k, _) in enumerate(MATH_DOCS)}
+
+
+@pytest.fixture(scope="module")
+def math_setup(spark):
+    docs = spark.createDataFrame(
+        [(i + 1, f"https://m.local/{i:04d}", t) for i, (_, t) in enumerate(MATH_DOCS)],
+        "doc_id long, url string, text string",
+    )
+    mp = build_math_index(docs).cache()
+    mp.count()
+    idx = build_index(spark, docs, id_col="doc_id")
+    idx.blocks.cache().count()
+    return idx, mp
+
+
+def _ranking(spark, math_setup, qtex):
+    idx, mp = math_setup
+    res = mixed_search(spark, idx, mp, f"[imath]{qtex}[/imath]").collect()
+    return [(r["doc_id"], r["max_math"]) for r in res if r["max_math"] > 0]
+
+
+def test_alpha_equivalence_case(spark, math_setup):
+    """Reference cases/math-rank/alpha-equvalence.txt shape: exact symbol
+    match first, alpha-equivalent + commutative next, partial after."""
+    hits = _ranking(spark, math_setup, "a+\\frac 1 a")
+    ids = [d for d, _ in hits]
+    scores = dict(hits)
+    exact, alpha, commut = KEY_TO_ID["exact"], KEY_TO_ID["alpha"], KEY_TO_ID["commut"]
+    assert ids[0] in (exact, commut)
+    assert scores[exact] == scores[commut]  # commutativity: identical
+    assert scores[exact] > scores[alpha]  # concrete > gener-only
+    assert scores[alpha] > scores.get(KEY_TO_ID["partial"], 0.0)
+    assert KEY_TO_ID["unrelated"] not in ids[:4]
+
+
+def test_non_commutative_case(spark, math_setup):
+    hits = _ranking(spark, math_setup, "\\frac{a}{b}")
+    scores = dict(hits)
+    assert scores[KEY_TO_ID["frac_ab"]] > scores[KEY_TO_ID["frac_ba"]]
+
+
+def test_wildcard_case(spark, math_setup):
+    hits = _ranking(spark, math_setup, "\\qvar{x}^2")
+    scores = dict(hits)
+    sa, sb = scores[KEY_TO_ID["sq_a"]], scores[KEY_TO_ID["sq_b"]]
+    assert sa == sb  # wildcard: symbol-agnostic
+    assert sa > scores.get(KEY_TO_ID["cube_a"], 0.0)
+
+
+def test_mixed_term_plus_math(spark, math_setup):
+    idx, mp = math_setup
+    res = mixed_search(spark, idx, mp, "frac [imath]\\frac{a}{b}[/imath]").collect()
+    top = res[0]
+    # doc frac_ab matches both the term 'frac' and the expression:
+    # match_dim = 1 (term) + 1 (math) => +20000
+    assert top["doc_id"] == KEY_TO_ID["frac_ab"]
+    assert top["score"] > 20000
+    assert res[0]["max_math"] > res[1]["max_math"] or res[0]["score"] > res[1]["score"]
+
+
+def test_math_only_doc_scoring(spark, math_setup):
+    idx, mp = math_setup
+    scores = math_expr_scores(spark, mp, "x^2=y").collect()
+    best = max(scores, key=lambda r: r["math_score"])
+    assert best["doc_id"] == KEY_TO_ID["unrelated"]
+    assert best["math_score"] == 1.0  # exact full match
+
+
+def test_split_query():
+    terms, texes = split_query("hello [imath]a+b[/imath] world")
+    assert terms == ["hello", "world"]
+    assert texes == ["a+b"]
+    # caps at 4 math keywords (searchd/config.h:23)
+    q = " ".join("[imath]x[/imath]" for _ in range(6))
+    assert len(split_query(q)[1]) == 4
