@@ -233,6 +233,43 @@ SELECT p.term, p.doc_id::BIGINT AS doc_id, p.tf::BIGINT AS tf, d.doclen
 FROM post p JOIN dl d USING (doc_id)"""
 
 
+def _q_pagination(spark, sf_dir):
+    """Q15 rank window: page 2 (results 11-20) of the or2 query
+    (search/rank.c:101-139 rank_window_calc, 10 per page)."""
+    idx = get_index(spark, sf_dir)
+    res = search(spark, idx, "merge join", mode="or", k=S.RANK_K + 64)
+    return _ranked(res).where((F.col("rank") >= 11) & (F.col("rank") <= 20))
+
+
+SQL_PAGINATION = _bm25_sql(["merge", "join"], "or").replace(
+    "WHERE rank <= 155 ORDER BY rank", "WHERE rank BETWEEN 11 AND 20 ORDER BY rank"
+)
+
+
+def _q_highlight_occurs(spark, sf_dir):
+    """Q16 occurrence merge: <=8 distinct sorted hit positions per doc for
+    the query terms (search-utils.c:76-122, MAX_HIGHLIGHT_OCCURS=8)."""
+    toks = tokens_frame(documents(spark, sf_dir))
+    hits = toks.where(F.col("term").isin(["merge", "join"]))
+    return hits.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_set("pos")), 1, 8),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("occurs_csv")
+    )
+
+
+SQL_HIGHLIGHT_OCCURS = f"""
+WITH {SQL_TOK},
+hits AS (SELECT DISTINCT doc_id, pos FROM tok WHERE term IN ('merge', 'join')),
+r AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn FROM hits)
+SELECT doc_id::BIGINT AS doc_id, string_agg(pos, ',' ORDER BY pos) AS occurs_csv
+FROM r WHERE rn <= 8 GROUP BY doc_id"""
+
+
 def _q_title(spark, sf_dir):
     return TX.title_extract(documents(spark, sf_dir))
 
@@ -560,6 +597,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         _bm25_query(["batch", "small", "scan"], "or", wand=True),
         _bm25_sql(["batch", "small", "scan"], "or"),
     ),
+    "ft_pagination": (_q_pagination, SQL_PAGINATION),
+    "ft_highlight_occurs": (_q_highlight_occurs, SQL_HIGHLIGHT_OCCURS),
     "ft_title": (_q_title, SQL_TITLE),
     "ft_snippet": (_q_snippet, None),  # pandas-UDF rendering; rows-only check
     # --- dedup suite ---
