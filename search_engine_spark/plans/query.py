@@ -40,8 +40,8 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import FloatType
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import DoubleType
 
 from ..functions.tokenizer import tokenize_text
 from ..operators import scoring as S
@@ -66,9 +66,13 @@ def digest_query(qtext: str) -> list[str]:
     return list(seen)[:MAX_TERM_KEYWORDS]
 
 
-@F.pandas_udf(FloatType())
+@F.pandas_udf(DoubleType())
 def _prox_udf(pos_structs: pd.Series) -> pd.Series:
-    """array<struct<kw_idx,positions>> per doc -> prox score (float32)."""
+    """array<struct<kw_idx,positions>> per doc -> prox score (float64).
+
+    Retained for the WAND path's small candidate sets; the main path uses
+    the JVM lag-window formulation (_prox_frame) instead.
+    """
 
     def one(entries: object) -> float:
         if entries is None:
@@ -76,7 +80,7 @@ def _prox_udf(pos_structs: pd.Series) -> pd.Series:
         lists = [np.asarray(e["positions"]) for e in entries]
         return float(S.prox_score(S.prox_min_dist(lists)))
 
-    return pos_structs.map(one).astype("float32")
+    return pos_structs.map(one).astype("float64")
 
 
 @dataclass
@@ -193,6 +197,106 @@ def _score_frame(
     )
 
 
+_LN03 = float(math.log(0.3))
+
+
+def _prox_frame(pos_rows: DataFrame, keys: list[str]) -> DataFrame:
+    """Positions -> (keys..., min_dist) entirely JVM-side.
+
+    This IS the reference's n-way merge (proximity.c:23-71) as a window:
+    explode every keyword's positions, sort them per doc (the merge), and
+    take the minimum gap between ADJACENT entries from DIFFERENT keywords
+    (lag window). No position arrays are reified or shuffled as arrays and
+    no Python runs — at web scale the position stream stays inside
+    whole-stage codegen.
+    """
+    tok = pos_rows.select(*keys, "kw_idx", F.explode("positions").alias("pos"))
+    w = Window.partitionBy(*keys).orderBy("pos")
+    gaps = tok.select(
+        *keys,
+        F.when(
+            F.lag("kw_idx").over(w) != F.col("kw_idx"),
+            F.col("pos") - F.lag("pos").over(w),
+        ).alias("gap"),
+    )
+    return gaps.groupBy(*keys).agg(F.min("gap").alias("min_dist"))
+
+
+def _prox_col() -> F.Column:
+    """ln(0.3 + e^-minDist); NULL min_dist (no cross-keyword pair) -> ln 0.3
+    (e^-UINT_MAX underflows to 0 in the reference, proximity.c:75-80)."""
+    return F.when(
+        F.col("min_dist").isNull(), F.lit(_LN03)
+    ).otherwise(F.log(F.lit(0.3) + F.exp(-F.col("min_dist").cast("double"))))
+
+
+def _scored_topk_pruned(
+    spark: SparkSession,
+    index: InvertedIndex,
+    kw: DataFrame,
+    all_terms: list[str],
+    and_required: dict[str, int],
+    k: int,
+    use_blocks: bool,
+    with_prox: bool,
+    grouped: bool,
+) -> DataFrame:
+    """Score + top-k in one action: positionless BM25 aggregate joined with
+    the JVM prox aggregate (both shuffle on the same doc keys), then the
+    rank window / TakeOrderedAndProject."""
+    keys = ["qid", "doc_id"] if grouped else ["doc_id"]
+    light = _candidate_rows(index, all_terms, use_blocks, with_positions=False)
+    joined = light.join(F.broadcast(kw), "term")
+    scored = joined.withColumn(
+        "term_score", F.col("idf") * S.tf_norm_col(F.col("tf"), F.col("doclen"), index.avgdl)
+    )
+    base = scored.groupBy(*keys).agg(
+        (F.lit(1.0) + F.sum(F.when(F.col("term_score") != 0.0, F.col("term_score")).otherwise(0.0))).alias("bm25"),
+        F.sum(F.when(F.col("term_score") != 0.0, 1.0).otherwise(0.0)).alias("match_dim"),
+        F.count(F.lit(1)).alias("n_matched_terms"),
+    )
+    if and_required:
+        if grouped:
+            nmap = F.create_map(
+                *[x for qid, n in and_required.items() for x in (F.lit(qid), F.lit(n))]
+            )
+            base = base.filter(
+                (~F.col("qid").isin(list(and_required)))
+                | (F.col("n_matched_terms") == nmap[F.col("qid")])
+            )
+        else:
+            base = base.filter(
+                F.col("n_matched_terms") == next(iter(and_required.values()))
+            )
+    base = base.withColumn(
+        "base",
+        F.lit(0.5) * F.col("bm25") + F.lit(S.MATCH_DIM_WEIGHT) * F.col("match_dim"),
+    )
+    if with_prox:
+        pos_rows = _candidate_rows(index, all_terms, use_blocks, with_positions=True).join(
+            F.broadcast(kw.select("qid", "term", "kw_idx") if grouped else kw.select("term", "kw_idx")),
+            "term",
+        )
+        prox_df = _prox_frame(pos_rows, keys)
+        final = base.join(prox_df, keys, "left").withColumn("prox", _prox_col())
+    else:
+        final = base.withColumn("prox", F.lit(_LN03))
+    final = final.withColumn("score", F.col("prox") + F.col("base"))
+    return _rank_limit(final, k, grouped)
+
+
+def _rank_limit(final: DataFrame, k: int, grouped: bool) -> DataFrame:
+    cols = ["doc_id", "bm25", "match_dim", "n_matched_terms", "prox", "score"]
+    if grouped:
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            final.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("qid", "rank", *cols)
+        )
+    return final.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).select(*cols)
+
+
 def top_k(per_doc: DataFrame, k: int = S.RANK_K) -> DataFrame:
     """Bounded top-k (reference Q13/Q14): TakeOrderedAndProject.
 
@@ -231,11 +335,11 @@ def search(
                 "doc_id", "bm25", "match_dim", "n_matched_terms", "prox", "score"
             )
 
-    rows = _candidate_rows(index, terms, use_blocks, with_positions=with_prox)
     kw = _qterms_idf_df(spark, index, [("q", i, t) for i, t in enumerate(terms)])
-    per_doc = _score_frame(index, rows, kw, mode, with_prox, {"q": len(terms)})
-    return top_k(per_doc, k).select(
-        "doc_id", "bm25", "match_dim", "n_matched_terms", "prox", "score"
+    return _scored_topk_pruned(
+        spark, index, kw, terms,
+        and_required={"q": len(terms)} if mode == "and" else {},
+        k=k, use_blocks=use_blocks, with_prox=with_prox, grouped=False,
     )
 
 
@@ -272,27 +376,13 @@ def search_many(
             "n_matched_terms long, prox double, score double",
         )
     all_terms = sorted({t for _, _, t in kw_rows})
-    rows = _candidate_rows(index, all_terms, use_blocks, with_positions=with_prox)
     kw = _qterms_idf_df(spark, index, kw_rows)
-    per_doc = _score_frame(
-        index, rows, kw, "or", with_prox,
-        {qid: len(ts) for qid, ts in digested.items()}, grouped_by_qid=True,
-    )
-    and_qids = [qid for qid, m in modes.items() if m == "and"]
-    if and_qids:
-        nmap = F.create_map(
-            *[x for qid in and_qids for x in (F.lit(qid), F.lit(len(digested[qid])))]
-        )
-        per_doc = per_doc.filter(
-            (~F.col("qid").isin(and_qids)) | (F.col("n_matched_terms") == nmap[F.col("qid")])
-        )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", "rank", "doc_id", "bm25", "match_dim", "n_matched_terms", "prox", "score")
+    and_required = {
+        qid: len(digested[qid]) for qid, m in modes.items() if m == "and"
+    }
+    return _scored_topk_pruned(
+        spark, index, kw, all_terms, and_required,
+        k=k, use_blocks=use_blocks, with_prox=with_prox, grouped=True,
     )
 
 

@@ -20,9 +20,13 @@ CASES = [
 
 @pytest.mark.parametrize("qtext,mode", CASES)
 def test_wand_equals_full(spark, index200, qtext, mode):
-    full = [(r["doc_id"], round(r["score"], 9)) for r in search(spark, index200, qtext, mode=mode, wand=False).collect()]
-    pruned = [(r["doc_id"], round(r["score"], 9)) for r in search(spark, index200, qtext, mode=mode, wand=True).collect()]
-    assert pruned == full
+    full = search(spark, index200, qtext, mode=mode, wand=False).collect()
+    pruned = search(spark, index200, qtext, mode=mode, wand=True).collect()
+    assert [r["doc_id"] for r in pruned] == [r["doc_id"] for r in full]
+    # scores equal to 1-ulp noise (WAND path computes prox in numpy,
+    # the full path in JVM expressions — both float64, log() differs 1 ulp)
+    for a, b in zip(pruned, full):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-12, abs=1e-8)
 
 
 def test_wand_actually_prunes(spark, index200):
