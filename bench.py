@@ -48,6 +48,7 @@ def _run_workload(cpus: int, sf_dir: str, n_docs: int) -> dict:
     t0 = time.time()
     idx = build_index(spark, corpus)
     idx.blocks.write.mode("overwrite").parquet("/tmp/bench_idx/blocks")
+    idx.doc_blocks.write.mode("overwrite").parquet("/tmp/bench_idx/doc_blocks")
     idx.term_stats.write.mode("overwrite").parquet("/tmp/bench_idx/term_stats")
     idx.doc_meta.write.mode("overwrite").parquet("/tmp/bench_idx/doc_meta")
     build_s = time.time() - t0
@@ -57,6 +58,7 @@ def _run_workload(cpus: int, sf_dir: str, n_docs: int) -> dict:
 
     # --- query throughput on the warm synthetic index (BM25 path) ---
     idx.blocks.persist().count()
+    idx.doc_blocks.persist().count()
     idx.term_stats.persist().count()
     from search_engine_spark.corpus import vocab_word as W
     from search_engine_spark.plans.query import search_many

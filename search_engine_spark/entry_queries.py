@@ -78,6 +78,8 @@ def get_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
         idx = build_index(spark, docs, id_col="doc_id")
         idx.blocks = idx.blocks.persist()
         idx.blocks.count()
+        idx.doc_blocks = idx.doc_blocks.persist()
+        idx.doc_blocks.count()
         _INDEX_CACHE[key] = idx
     return _INDEX_CACHE[key]
 

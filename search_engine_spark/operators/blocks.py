@@ -105,18 +105,31 @@ def pack_blocks(
     avgdl: float,
     block: int = DEFAULT_BLOCK,
     num_partitions: int | None = None,
+    layout: str = "term",
 ) -> DataFrame:
     """(term, doc_id, tf, positions, doclen) -> packed block rows.
 
-    Input need not be pre-sorted; we range-partition on (term, doc_id) and
-    sort within partitions, which both co-locates each term's entries in
-    doc_id order and splits skewed terms across partitions.
+    ``layout``:
+    - "term": range-partition on (term, doc_id) — co-locates each term's
+      posting run (split across partitions for skewed terms); the layout
+      for WAND metadata sweeps and bulk analytics over posting lists.
+    - "doc": range-partition on doc_id ONLY — every term of a given doc
+      lives in the same shard. This is the classic document-sharded
+      serving layout: a query becomes a narrow per-shard DAAT kernel with
+      local top-k and a tiny global merge — ZERO shuffle per query
+      (plans/serve.py). Real-world distributed engines (incl. the
+      reference behind a sharding proxy) serve this way.
     """
     sc = postings_with_doclen.sparkSession.sparkContext
     nparts = num_partitions or sc.defaultParallelism
-    arranged = postings_with_doclen.repartitionByRange(
-        nparts, "term", "doc_id"
-    ).sortWithinPartitions("term", "doc_id")
+    if layout == "doc":
+        arranged = postings_with_doclen.repartitionByRange(
+            nparts, "doc_id"
+        ).sortWithinPartitions("term", "doc_id")
+    else:
+        arranged = postings_with_doclen.repartitionByRange(
+            nparts, "term", "doc_id"
+        ).sortWithinPartitions("term", "doc_id")
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -36,12 +36,13 @@ class InvertedIndex:
     """Umbrella handle over the index tables (reference indices/indices.c)."""
 
     postings: DataFrame  # uncompressed posting rows (term, doc_id, tf, positions, doclen)
-    blocks: DataFrame  # packed posting blocks
+    blocks: DataFrame  # packed posting blocks, term-range layout
     doc_meta: DataFrame  # (doc_id, doclen)
     term_stats: DataFrame  # (term, df, cf)
     docstore: DataFrame  # (doc_id, url, text)
     docN: int
     avgdl: float
+    doc_blocks: DataFrame | None = None  # packed blocks, doc-sharded layout (serving)
 
     def cache(self) -> "InvertedIndex":
         """Warm the serving path (reference postcache role, indices/postcache.c)."""
@@ -85,6 +86,7 @@ def build_index(
     stats = P.collection_stats(dmeta)
     tstats = P.term_stats(rows_dl)
     blocks = pack_blocks(rows_dl, stats["avgdl"], block=block)
+    doc_blocks = pack_blocks(rows_dl, stats["avgdl"], block=block, layout="doc")
     docstore = docs.select("doc_id", "url", "text")
     return InvertedIndex(
         postings=rows_dl if keep_row_postings else None,
@@ -94,12 +96,15 @@ def build_index(
         docstore=docstore,
         docN=stats["docN"],
         avgdl=stats["avgdl"],
+        doc_blocks=doc_blocks,
     )
 
 
 def save_index(index: InvertedIndex, path: str) -> None:
     """Persist index tables (Parquet dirs; Iceberg when a catalog is up)."""
     write_table(index.blocks, f"{path}/blocks", partition_cols=None)
+    if index.doc_blocks is not None:
+        write_table(index.doc_blocks, f"{path}/doc_blocks")
     write_table(index.doc_meta, f"{path}/doc_meta")
     write_table(index.term_stats, f"{path}/term_stats")
     write_table(index.docstore, f"{path}/docstore")
@@ -112,8 +117,13 @@ def save_index(index: InvertedIndex, path: str) -> None:
 def load_index(spark: SparkSession, path: str, with_row_postings: bool = False) -> InvertedIndex:
     from ..operators.blocks import unpack_blocks
 
+    import os
+
     blocks = read_table(spark, f"{path}/blocks")
     stats = spark.read.parquet(f"{path}/stats").collect()[0]
+    doc_blocks = None
+    if os.path.exists(f"{path}/doc_blocks"):
+        doc_blocks = read_table(spark, f"{path}/doc_blocks")
     return InvertedIndex(
         postings=unpack_blocks(blocks) if with_row_postings else None,
         blocks=blocks,
@@ -122,4 +132,5 @@ def load_index(spark: SparkSession, path: str, with_row_postings: bool = False) 
         docstore=read_table(spark, f"{path}/docstore"),
         docN=int(stats["docN"]),
         avgdl=float(stats["avgdl"]),
+        doc_blocks=doc_blocks,
     )

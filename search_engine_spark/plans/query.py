@@ -315,16 +315,31 @@ def search(
     with_prox: bool = True,
     wand: bool = False,
     meta_cap: int = 2_000_000,
+    serving: str = "auto",
 ) -> DataFrame:
     """Full query: digest -> candidates -> score -> top-k.
 
     Returns (doc_id, bm25, match_dim, prox, score) ordered by
     (score DESC, doc_id ASC), limited to k.
+
+    ``serving``: "shard" = doc-sharded per-partition DAAT kernel (zero
+    shuffle, plans/serve.py); "shuffle" = set-oriented join+aggregate plan;
+    "auto" = shard when the index carries doc-sharded blocks and no WAND.
     """
     terms = digest_query(qtext)
     if not terms:
         return spark.createDataFrame(
             [], "doc_id long, bm25 double, match_dim double, n_matched_terms long, prox double, score double"
+        )
+
+    if serving == "auto":
+        serving = "shard" if (index.doc_blocks is not None and not wand and use_blocks) else "shuffle"
+    if serving == "shard":
+        from .serve import resolve_keywords, shard_search
+
+        kws = resolve_keywords(spark, index, {"q": (qtext, mode)})
+        return shard_search(spark, index, kws, k=k, with_prox=with_prox).select(
+            "doc_id", "bm25", "match_dim", "n_matched_terms", "prox", "score"
         )
 
     if wand and use_blocks:
@@ -350,6 +365,7 @@ def search_many(
     k: int = S.RANK_K,
     use_blocks: bool = True,
     with_prox: bool = True,
+    serving: str = "auto",
 ) -> DataFrame:
     """Batch query execution: score N queries in ONE plan.
 
@@ -364,6 +380,14 @@ def search_many(
     (searchd/run/searchd.c) — while per-query results stay identical to
     ``search()`` (asserted in tests).
     """
+    if serving == "auto":
+        serving = "shard" if (index.doc_blocks is not None and use_blocks) else "shuffle"
+    if serving == "shard":
+        from .serve import resolve_keywords, shard_search
+
+        kws = resolve_keywords(spark, index, queries)
+        return shard_search(spark, index, kws, k=k, with_prox=with_prox)
+
     digested = {qid: digest_query(qtext) for qid, (qtext, _) in queries.items()}
     modes = {qid: mode for qid, (_, mode) in queries.items()}
     kw_rows = [

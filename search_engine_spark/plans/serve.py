@@ -1,0 +1,220 @@
+"""Document-sharded query serving: shard-local DAAT kernel + global top-k.
+
+THE scalable serving design (and how the reference runs distributed in
+practice): the posting blocks are doc-range sharded (every term of a doc in
+one shard, blocks.pack_blocks layout="doc"), so a query is
+
+  narrow mapInPandas over term-filtered blocks (per shard: decode ->
+  vectorized BM25 + proximity + local bounded top-k, all numpy)
+  -> union of n_shards * k rows -> global rank window.
+
+ZERO data shuffles per query: the only movement is each shard's k
+candidate rows. The per-shard kernel is exactly the reference's
+document-at-a-time merge loop (search/postmerge.c + search.c:167-278 +
+proximity.c) vectorized over the whole shard instead of doc-at-a-time:
+
+- per-term score: idf * tf(k1+1)/(tf + k1(1-b+(k1/avgdl)doclen)) with the
+  reference quirks (scoring.py);
+- bm25 = 1 + sum of nonzero term scores; match_dim = count nonzero;
+- prox = ln(0.3 + e^-minDist), minDist = min adjacent cross-keyword gap in
+  the doc's merged position order (np.lexsort + diff + minimum.at);
+- AND mode: n matched terms == n query terms (postmerge.c:103-140);
+- local heap: lexsort take-k (minheap.c role), ties (score DESC, doc ASC).
+
+Batch mode scores many queries in the same shard pass, reusing the decoded
+arrays — the serving-throughput shape.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import codec
+from ..operators import scoring as S
+
+_LN03 = math.log(0.3)
+
+_OUT_SCHEMA = (
+    "qid string, doc_id long, bm25 double, match_dim double, "
+    "n_matched_terms long, prox double, score double"
+)
+
+
+def _decode_partition(batches: Iterator[pd.DataFrame], want_pos: bool):
+    """Accumulate decoded posting arrays per term for one shard."""
+    acc: dict[str, list] = {}
+    for pdf in batches:
+        for row in pdf.itertuples(index=False):
+            ids = codec.decode_ids(row.doc_ids_blob).astype(np.int64)
+            tfs = codec.vb_decode(row.tfs_blob).astype(np.int64)
+            dls = codec.vb_decode(row.doclens_blob).astype(np.int64)
+            pos = (
+                codec.vb_decode(row.positions_blob).astype(np.int64)
+                if want_pos
+                else np.empty(0, dtype=np.int64)
+            )
+            acc.setdefault(row.term, []).append((ids, tfs, dls, pos))
+    out = {}
+    for term, chunks in acc.items():
+        ids = np.concatenate([c[0] for c in chunks])
+        tfs = np.concatenate([c[1] for c in chunks])
+        dls = np.concatenate([c[2] for c in chunks])
+        pos = np.concatenate([c[3] for c in chunks]) if want_pos else None
+        out[term] = (ids, tfs, dls, pos)
+    return out
+
+
+def _score_one_query(
+    terms_kw: list[tuple[int, str, float]],
+    decoded: dict,
+    avgdl: float,
+    mode: str,
+    k: int,
+    with_prox: bool,
+):
+    """Shard-local scoring of one query -> top-k numpy rows."""
+    k1, b = S.BM25_K1, S.BM25_B
+    frac = S.BM25_K1 / avgdl
+    row_doc, row_kw, row_score = [], [], []
+    row_pos_doc, row_pos_kw, row_pos = [], [], []
+    for kw_idx, term, idf in terms_kw:
+        got = decoded.get(term)
+        if got is None:
+            continue
+        ids, tfs, dls, pos = got
+        tf = tfs.astype(np.float64)
+        dl = dls.astype(np.float64)
+        sc = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + frac * dl))
+        row_doc.append(ids)
+        row_kw.append(np.full(len(ids), kw_idx, dtype=np.int64))
+        row_score.append(sc)
+        if with_prox and pos is not None and len(pos):
+            reps = tfs  # positions per entry == capped tf
+            row_pos_doc.append(np.repeat(ids, reps))
+            row_pos_kw.append(np.repeat(np.int64(kw_idx), int(reps.sum())))
+            row_pos.append(pos)
+    if not row_doc:
+        return None
+    doc = np.concatenate(row_doc)
+    score = np.concatenate(row_score)
+    udoc, inv = np.unique(doc, return_inverse=True)
+    n = len(udoc)
+    bm25 = np.full(n, 1.0)
+    nz = score != 0.0
+    np.add.at(bm25, inv[nz], score[nz])
+    match_dim = np.zeros(n)
+    np.add.at(match_dim, inv[nz], 1.0)
+    n_matched = np.zeros(n, dtype=np.int64)
+    np.add.at(n_matched, inv, 1)
+
+    if with_prox and row_pos_doc:
+        pdoc = np.concatenate(row_pos_doc)
+        pkw = np.concatenate(row_pos_kw)
+        ppos = np.concatenate(row_pos)
+        order = np.lexsort((ppos, pdoc))
+        pdoc, pkw, ppos = pdoc[order], pkw[order], ppos[order]
+        same_doc = pdoc[1:] == pdoc[:-1]
+        diff_kw = pkw[1:] != pkw[:-1]
+        gaps = ppos[1:] - ppos[:-1]
+        sel = same_doc & diff_kw
+        mind = np.full(n, np.inf)
+        if sel.any():
+            gidx = np.searchsorted(udoc, pdoc[1:][sel])
+            np.minimum.at(mind, gidx, gaps[sel].astype(np.float64))
+        prox = np.log(0.3 + np.exp(-mind))
+    else:
+        prox = np.full(n, _LN03)
+
+    if mode == "and":
+        keep = n_matched == len(terms_kw)
+        if not keep.any():
+            return None
+        udoc, bm25, match_dim, n_matched, prox = (
+            udoc[keep], bm25[keep], match_dim[keep], n_matched[keep], prox[keep]
+        )
+    total = prox + 0.5 * bm25 + S.MATCH_DIM_WEIGHT * match_dim
+    top = np.lexsort((udoc, -total))[:k]
+    return udoc[top], bm25[top], match_dim[top], n_matched[top], prox[top], total[top]
+
+
+def shard_search(
+    spark: SparkSession,
+    index,
+    queries: dict[str, tuple[list[tuple[int, str, float]], str]],
+    k: int = S.RANK_K,
+    with_prox: bool = True,
+) -> DataFrame:
+    """Batch serve over the doc-sharded blocks.
+
+    ``queries``: qid -> ([(kw_idx, term, idf)], mode). Returns
+    (qid, rank, doc_id, bm25, match_dim, n_matched_terms, prox, score).
+    """
+    all_terms = sorted({t for kws, _ in queries.values() for _, t, _ in kws})
+    if not all_terms:
+        return spark.createDataFrame([], "qid string, rank int, " + _OUT_SCHEMA[12:])
+    blocks = index.doc_blocks.filter(F.col("term").isin(all_terms))
+    avgdl = index.avgdl
+    qitems = [(qid, kws, mode) for qid, (kws, mode) in queries.items()]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decoded = _decode_partition(batches, want_pos=with_prox)
+        if not decoded:
+            return
+        frames = []
+        for qid, kws, mode in qitems:
+            res = _score_one_query(kws, decoded, avgdl, mode, k, with_prox)
+            if res is None:
+                continue
+            udoc, bm25, match_dim, n_matched, prox, total = res
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "qid": qid,
+                        "doc_id": udoc,
+                        "bm25": bm25,
+                        "match_dim": match_dim,
+                        "n_matched_terms": n_matched,
+                        "prox": prox,
+                        "score": total,
+                    }
+                )
+            )
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    local = blocks.mapInPandas(kernel, _OUT_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", "bm25", "match_dim", "n_matched_terms", "prox", "score")
+    )
+
+
+def resolve_keywords(spark: SparkSession, index, queries: dict[str, tuple[str, str]]):
+    """qid -> (qtext, mode)  =>  qid -> ([(kw_idx, term, idf)], mode).
+
+    One tiny term_stats lookup for the whole batch (reference Q3/Q5)."""
+    from .query import digest_query
+
+    digested = {qid: (digest_query(qtext), mode) for qid, (qtext, mode) in queries.items()}
+    all_terms = sorted({t for ts, _ in digested.values() for t in ts})
+    if not all_terms:
+        return {qid: ([], mode) for qid, (_, mode) in digested.items()}
+    stats = (
+        index.term_stats.filter(F.col("term").isin(all_terms)).select("term", "df").collect()
+    )
+    dfmap = {r["term"]: r["df"] for r in stats}
+    out = {}
+    for qid, (terms, mode) in digested.items():
+        kws = [
+            (i, t, S.idf(float(dfmap.get(t, 0)), float(index.docN)))
+            for i, t in enumerate(terms)
+        ]
+        out[qid] = (kws, mode)
+    return out

@@ -39,26 +39,38 @@ def test_scan_prunes_columns(spark, index200, tmp_path):
 
 
 def test_query_broadcasts_keyword_frame(spark, index200):
-    df = search(spark, index200, f"{W(1)} {W(2)}")
+    df = search(spark, index200, f"{W(1)} {W(2)}", serving="shuffle")
     plan = _plan(df)
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
 
 
 def test_topk_is_take_ordered(spark, index200):
-    df = search(spark, index200, f"{W(1)} {W(2)}")
+    df = search(spark, index200, f"{W(1)} {W(2)}", serving="shuffle")
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_shard_serving_has_no_data_shuffle(spark, index200):
+    # doc-sharded serving: the only Exchange in the plan is the final rank
+    # window over n_shards*k candidate rows — posting data never shuffles
+    df = search(spark, index200, f"{W(1)} {W(2)}", serving="shard")
+    plan = _plan(df)
+    # inspect only the serving section (the cached doc_blocks' build lineage
+    # below InMemoryTableScan re-lists the index-build exchanges)
+    serving_section = plan.split("InMemoryTableScan")[0]
+    assert "MapInPandas" in serving_section
+    assert serving_section.count("Exchange") <= 1  # only the final rank window
+    assert "BroadcastExchange" not in serving_section  # no join at all
 
 
 def test_no_row_at_a_time_python_in_scoring(spark, index200):
     # AQE hides WholeStageCodegen spans pre-execution; the enforceable
     # hygiene property is: scoring uses only JVM expressions + Arrow-batched
-    # exchanges (MapInPandas for block decode) — never BatchEvalPython
+    # exchanges (MapInPandas for decode/kernel) — never BatchEvalPython
     # (row-at-a-time Python UDF).
-    df = search(spark, index200, f"{W(1)} {W(2)}", with_prox=False)
-    plan = _plan(df)
-    assert "BatchEvalPython" not in plan
-    assert "HashAggregate" in plan
-    df2 = search(spark, index200, f"{W(1)} {W(2)}", with_prox=True)
-    plan2 = _plan(df2)
-    assert "BatchEvalPython" not in plan2  # prox UDF is ArrowEvalPython
+    for serving in ("shard", "shuffle"):
+        df = search(spark, index200, f"{W(1)} {W(2)}", with_prox=False, serving=serving)
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        df2 = search(spark, index200, f"{W(1)} {W(2)}", with_prox=True, serving=serving)
+        assert "BatchEvalPython" not in _plan(df2)
