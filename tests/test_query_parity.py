@@ -62,3 +62,22 @@ def test_tie_break_is_doc_id_asc(spark, index200):
     assert scores[d3] == scores[d4]
     order = [r["doc_id"] for r in got]
     assert order.index(d3) < order.index(d4)
+
+
+def test_search_many_shard_equals_shuffle(spark, index200):
+    from search_engine_spark.plans.query import search_many
+
+    workload = {
+        "a": (f"{W(1)} {W(2)}", "or"),
+        "b": (f"{W(3)} {W(9)}", "and"),
+        "c": (W(0), "or"),
+        "d": (f"{W(0)} {W(5)} {W(7)}", "or"),
+        "e": (f"{W(1)} zzzmissing", "and"),
+    }
+    def norm(df):
+        return sorted(
+            (r["qid"], r["rank"], r["doc_id"], round(r["score"], 6)) for r in df.collect()
+        )
+    a = norm(search_many(spark, index200, workload, serving="shard"))
+    b = norm(search_many(spark, index200, workload, serving="shuffle"))
+    assert a == b
