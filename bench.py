@@ -69,8 +69,8 @@ def _run_workload(cpus: int, sf_dir: str, n_docs: int) -> dict:
         (f"{W(200)} {W(300)}", "or"), (f"{W(2)} {W(4)}", "and"), (W(1000), "or"),
     ]
     workload = {
-        f"q{i}_{j}": (f"{q} {W(17 * j + 23)}" if j % 2 else q, m)
-        for j in range(8)
+        f"q{i}_{j}": (f"{q} {W((17 * j + 23) % 4999)}" if j % 2 else f"{q} {W((31 * j + 7) % 4999)}", m)
+        for j in range(64)
         for i, (q, m) in enumerate(base)
     }
     search(spark, idx, base[0][0]).collect()  # warm the python workers
@@ -108,7 +108,7 @@ def main() -> None:
 
     if "--scaling" in sys.argv:
         # scaling evidence needs a compute-dominated run: bigger corpus
-        n_docs = int(os.environ.get("SCALING_DOCS", "100000"))
+        n_docs = int(os.environ.get("SCALING_DOCS", "200000"))
         results = {}
         for c in (8, 32):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(c), BENCH_DOCS=str(n_docs))

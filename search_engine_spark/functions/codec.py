@@ -26,17 +26,20 @@ def vb_encode(values: np.ndarray) -> bytes:
     if len(values) == 0:
         return b""
     v = np.asarray(values, dtype=np.uint64)
-    # 7-bit groups, least-significant first: group[i] = (v >> 7i) & 0x7f
-    shifts = (np.uint64(7) * np.arange(_MAX_GROUPS, dtype=np.uint64))[None, :]
+    # size the group matrix to the actual max value (positions/tfs need 2-3
+    # groups, not 10 — the temp matrix is the dominant allocation)
+    vmax = int(v.max())
+    ngroups_needed = max(1, (vmax.bit_length() + 6) // 7)
+    shifts = (np.uint64(7) * np.arange(ngroups_needed, dtype=np.uint64))[None, :]
     groups = (v[:, None] >> shifts) & np.uint64(0x7F)
     # number of groups per value: index of highest nonzero group + 1 (min 1)
     nonzero = groups != 0
     ngroups = np.maximum(
-        1, _MAX_GROUPS - np.argmax(nonzero[:, ::-1], axis=1)
+        1, ngroups_needed - np.argmax(nonzero[:, ::-1], axis=1)
     ) * np.any(nonzero, axis=1) + (~np.any(nonzero, axis=1)).astype(np.int64)
     # continuation bit on all but the last group of each value
-    keep = np.arange(_MAX_GROUPS)[None, :] < ngroups[:, None]
-    cont = np.arange(_MAX_GROUPS)[None, :] < (ngroups - 1)[:, None]
+    keep = np.arange(ngroups_needed)[None, :] < ngroups[:, None]
+    cont = np.arange(ngroups_needed)[None, :] < (ngroups - 1)[:, None]
     bytes_mat = groups.astype(np.uint8)
     bytes_mat[cont] |= 0x80
     return bytes_mat[keep].tobytes()
@@ -65,6 +68,21 @@ def vb_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
     out = np.zeros(n_values, dtype=np.uint64)
     np.add.at(out, value_id, payload)
     return out
+
+
+def vb_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte count (vectorized); values < 2^63."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = np.ones(len(v), dtype=np.int64)
+    bound = np.uint64(128)
+    while True:
+        mask = v >= bound
+        if not mask.any():
+            return n
+        n += mask
+        if bound > np.uint64(1) << np.uint64(56):
+            return n
+        bound = bound << np.uint64(7)
 
 
 def delta_encode(sorted_values: np.ndarray) -> np.ndarray:

@@ -163,12 +163,17 @@ def tokens_frame(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+from pyspark.sql.types import BinaryType  # noqa: E402
+
 INVERT_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
         StructField("term", StringType(), False),
         StructField("tf", IntegerType(), False),
-        StructField("positions", ArrayType(IntegerType()), False),
+        # positions pre-encoded as a varbyte stream: ~4x fewer bytes than a
+        # list<int32> through every downstream shuffle/cache/Arrow hop, and
+        # block packing becomes pure byte slicing (blocks.py)
+        StructField("pos_vb", BinaryType(), False),
         StructField("doclen", IntegerType(), False),
     ]
 )
@@ -190,28 +195,83 @@ def inverted_frame(docs, tf_cap: int = 2048, text_col: str = "text"):
     """
 
     def invert(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            o_doc: list[int] = []
-            o_term: list[str] = []
-            o_tf: list[int] = []
-            o_pos: list[list[int]] = []
-            o_dl: list[int] = []
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                toks = tokenize_text(text) if isinstance(text, str) else []
-                dl = len(toks)
-                groups: dict[str, list[int]] = {}
-                for p, t in enumerate(toks):
-                    groups.setdefault(t, []).append(p)
-                for t, pos in groups.items():
-                    o_doc.append(doc_id)
-                    o_term.append(t)
-                    o_tf.append(min(len(pos), tf_cap))
-                    o_pos.append(pos[:tf_cap])
-                    o_dl.append(dl)
-            yield pd.DataFrame(
-                {"doc_id": o_doc, "term": o_term, "tf": o_tf, "positions": o_pos, "doclen": o_dl}
-            )
+        # mapInArrow + numpy grouping: only the tokenizer regex runs per
+        # document in Python; per-token grouping, tf counting, the position
+        # lists and the output list column are all flat-buffer operations.
+        import numpy as np
+        import pyarrow as pa
 
-    return docs.select("doc_id", text_col).mapInPandas(invert, INVERT_SCHEMA)
+        from . import codec
+
+        arrow_schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("term", pa.string()),
+                ("tf", pa.int32()),
+                ("pos_vb", pa.binary()),
+                ("doclen", pa.int32()),
+            ]
+        )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            doc_ids = batch.column(0).to_numpy()
+            texts = batch.column(1).to_pylist()
+            tok_lists = [tokenize_text(t) if isinstance(t, str) else [] for t in texts]
+            lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat_terms = pa.array(
+                [t for toks in tok_lists for t in toks], type=pa.string()
+            )
+            tidx = flat_terms.dictionary_encode().indices.to_numpy().astype(np.int64)
+            vocab = flat_terms.dictionary_encode().dictionary
+            doc_rep = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+            # token ordinal within each doc: arange minus each doc's start
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            pos = np.arange(total, dtype=np.int64) - starts[doc_rep]
+            # group by (doc, term): stable sort keeps positions ascending
+            order = np.lexsort((pos, tidx, doc_rep))
+            gd, gt, gp = doc_rep[order], tidx[order], pos[order]
+            newgrp = np.r_[True, (gd[1:] != gd[:-1]) | (gt[1:] != gt[:-1])]
+            gstart = np.flatnonzero(newgrp)
+            gend = np.r_[gstart[1:], total]
+            raw_tf = gend - gstart
+            tf = np.minimum(raw_tf, tf_cap).astype(np.int32)
+            # positions values: first `tf` entries of each group (cap slice)
+            keep = np.zeros(total, dtype=bool)
+            # mark entries whose within-group ordinal < tf  (vectorized)
+            grp_id = np.cumsum(newgrp) - 1
+            within = np.arange(total) - gstart[grp_id]
+            keep = within < tf[grp_id]
+            pos_vals = gp[keep].astype(np.uint64)
+            # varbyte-encode ALL kept positions once; per-entry byte offsets
+            # from the vectorized per-value lengths
+            pos_bytes = codec.vb_encode(pos_vals)
+            blens = codec.vb_lengths(pos_vals)
+            # byte offset at each entry boundary (entries have tf values each)
+            val_off = np.zeros(len(tf) + 1, dtype=np.int64)
+            np.cumsum(tf, out=val_off[1:])
+            byte_cum = np.zeros(len(pos_vals) + 1, dtype=np.int64)
+            np.cumsum(blens, out=byte_cum[1:])
+            entry_byte_off = byte_cum[val_off].astype(np.int32)
+            pos_vb = pa.Array.from_buffers(
+                pa.binary(),
+                len(tf),
+                [None, pa.py_buffer(entry_byte_off.tobytes()), pa.py_buffer(pos_bytes)],
+            )
+            out = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids[gd[gstart]], type=pa.int64()),
+                    vocab.take(pa.array(gt[gstart])),
+                    pa.array(tf, type=pa.int32()),
+                    pos_vb,
+                    pa.array(lens[gd[gstart]].astype(np.int32), type=pa.int32()),
+                ],
+                schema=arrow_schema,
+            )
+            yield out
+
+    return docs.select("doc_id", text_col).mapInArrow(invert, INVERT_SCHEMA)

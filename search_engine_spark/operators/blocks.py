@@ -73,19 +73,20 @@ UNPACKED_SCHEMA = StructType(
 )
 
 
-def _pack_group(term: str, doc_ids, tfs, doclens, pos_lists, avgdl: float, block: int):
-    """Pack one term's (sorted) run of posting entries into block rows."""
+def _pack_group(term: str, doc_ids, tfs, doclens, pos_bytes, pos_boff, avgdl: float, block: int):
+    """Pack one term's (sorted) run of posting entries into block rows.
+
+    ``pos_bytes``/``pos_boff``: the batch's flat pre-encoded varbyte
+    position stream + per-entry byte offsets — the block's positions_blob
+    is a pure byte slice (varbyte is self-delimiting; per-entry value
+    counts are the stored tfs).
+    """
     n = len(doc_ids)
     for s in range(0, n, block):
         e = min(s + block, n)
-        ids = np.asarray(doc_ids[s:e], dtype=np.uint64)
-        tf = np.asarray(tfs[s:e], dtype=np.uint64)
-        dl = np.asarray(doclens[s:e], dtype=np.uint64)
-        pos_concat = (
-            np.concatenate([np.asarray(p, dtype=np.uint64) for p in pos_lists[s:e]])
-            if e > s
-            else np.empty(0, dtype=np.uint64)
-        )
+        ids = doc_ids[s:e].astype(np.uint64)
+        tf = tfs[s:e].astype(np.uint64)
+        dl = doclens[s:e].astype(np.uint64)
         bmt = float(tf_norm_np(tf.astype(np.float32), dl.astype(np.float32), avgdl).max())
         yield {
             "term": term,
@@ -95,7 +96,7 @@ def _pack_group(term: str, doc_ids, tfs, doclens, pos_lists, avgdl: float, block
             "doc_ids_blob": codec.encode_ids(ids),
             "tfs_blob": codec.vb_encode(tf),
             "doclens_blob": codec.vb_encode(dl),
-            "positions_blob": codec.vb_encode(pos_concat),
+            "positions_blob": pos_bytes[pos_boff[s] : pos_boff[e]].tobytes(),
             "block_max_tfn": bmt,
         }
 
@@ -131,31 +132,56 @@ def pack_blocks(
             nparts, "term", "doc_id"
         ).sortWithinPartitions("term", "doc_id")
 
-    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    def pack(batches) -> Iterator["pa.RecordBatch"]:
+        # mapInArrow: the positions list column is consumed through its flat
+        # values buffer + offsets — NO per-row Python objects for the 10^7
+        # posting entries, only per-BLOCK work (codec calls on numpy slices).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
+            cols = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+            tdict = pc.dictionary_encode(cols["term"])
+            tidx = tdict.indices.to_numpy().astype(np.int64)
+            vocab = tdict.dictionary.to_pylist()
+            doc_ids = cols["doc_id"].to_numpy()
+            tfs = cols["tf"].to_numpy().astype(np.int64)
+            dls = cols["doclen"].to_numpy().astype(np.int64)
+            pvb = cols["pos_vb"]
+            # BinaryArray flat buffers: [validity, int32 offsets, data]
+            bufs = pvb.buffers()
+            raw_off = np.frombuffer(bufs[1], dtype=np.int32)
+            pos_boff = raw_off[pvb.offset : pvb.offset + len(pvb) + 1].astype(np.int64)
+            pos_bytes = np.frombuffer(bufs[2], dtype=np.uint8)
             rows: list[dict] = []
-            # batch is sorted by (term, doc_id); group contiguous term runs
-            terms = pdf["term"].to_numpy()
-            bounds = np.flatnonzero(np.r_[True, terms[1:] != terms[:-1], True])
+            bounds = np.flatnonzero(np.r_[True, tidx[1:] != tidx[:-1], True])
             for i in range(len(bounds) - 1):
                 s, e = bounds[i], bounds[i + 1]
                 rows.extend(
                     _pack_group(
-                        terms[s],
-                        pdf["doc_id"].to_numpy()[s:e],
-                        pdf["tf"].to_numpy()[s:e],
-                        pdf["doclen"].to_numpy()[s:e],
-                        pdf["positions"].tolist()[s:e],
-                        avgdl,
-                        block,
+                        vocab[tidx[s]], doc_ids[s:e], tfs[s:e], dls[s:e],
+                        pos_bytes, pos_boff[s : e + 1],
+                        avgdl, block,
                     )
                 )
             if rows:
-                yield pd.DataFrame(rows)
+                yield pa.RecordBatch.from_pylist(rows, schema=pa.schema(
+                    [
+                        ("term", pa.string()),
+                        ("first_doc_id", pa.int64()),
+                        ("last_doc_id", pa.int64()),
+                        ("n", pa.int32()),
+                        ("doc_ids_blob", pa.binary()),
+                        ("tfs_blob", pa.binary()),
+                        ("doclens_blob", pa.binary()),
+                        ("positions_blob", pa.binary()),
+                        ("block_max_tfn", pa.float32()),
+                    ]
+                ))
 
-    return arranged.mapInPandas(pack, BLOCK_SCHEMA)
+    return arranged.mapInArrow(pack, BLOCK_SCHEMA)
 
 
 def unpack_blocks(blocks: DataFrame, with_positions: bool = True) -> DataFrame:

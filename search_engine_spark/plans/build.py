@@ -88,8 +88,12 @@ def build_index(
     blocks = pack_blocks(rows_dl, stats["avgdl"], block=block)
     doc_blocks = pack_blocks(rows_dl, stats["avgdl"], block=block, layout="doc")
     docstore = docs.select("doc_id", "url", "text")
+    from ..operators.blocks import unpack_blocks
+
     return InvertedIndex(
-        postings=rows_dl if keep_row_postings else None,
+        # row-level postings view (positions as array<int>) decodes from the
+        # packed blocks on demand; the raw inverted rows carry varbyte bytes
+        postings=unpack_blocks(blocks) if keep_row_postings else None,
         blocks=blocks,
         doc_meta=dmeta,
         term_stats=tstats,

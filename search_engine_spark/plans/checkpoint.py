@@ -110,8 +110,10 @@ def finalize_index(spark: SparkSession, path: str, n_parts: int = 8, block: int 
     stats = P.collection_stats(dmeta)
     tstats = P.term_stats(rows.select("term", "doc_id", "tf"))
     blocks = pack_blocks(rows, stats["avgdl"], block=block)
+    from ..operators.blocks import unpack_blocks
+
     return InvertedIndex(
-        postings=rows,
+        postings=unpack_blocks(blocks),
         blocks=blocks,
         doc_meta=dmeta,
         term_stats=tstats,
