@@ -48,7 +48,8 @@ def _run_workload(cpus: int, sf_dir: str, n_docs: int) -> dict:
     t0 = time.time()
     idx = build_index(spark, corpus)
     idx.blocks.write.mode("overwrite").parquet("/tmp/bench_idx/blocks")
-    idx.doc_blocks.write.mode("overwrite").parquet("/tmp/bench_idx/doc_blocks")
+    if idx.doc_blocks is not None and idx.doc_blocks is not idx.blocks:
+        idx.doc_blocks.write.mode("overwrite").parquet("/tmp/bench_idx/doc_blocks")
     idx.term_stats.write.mode("overwrite").parquet("/tmp/bench_idx/term_stats")
     idx.doc_meta.write.mode("overwrite").parquet("/tmp/bench_idx/doc_meta")
     build_s = time.time() - t0

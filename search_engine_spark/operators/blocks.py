@@ -107,6 +107,7 @@ def pack_blocks(
     block: int = DEFAULT_BLOCK,
     num_partitions: int | None = None,
     layout: str = "term",
+    assume_doc_partitioned: bool = False,
 ) -> DataFrame:
     """(term, doc_id, tf, positions, doclen) -> packed block rows.
 
@@ -122,11 +123,20 @@ def pack_blocks(
       reference behind a sharding proxy) serve this way.
     """
     sc = postings_with_doclen.sparkSession.sparkContext
-    nparts = num_partitions or sc.defaultParallelism
+    # 4 partitions per core: smaller per-task sorts pipeline better and stay
+    # in execution memory (measured 23s -> 14s at local[32], 23M rows)
+    nparts = num_partitions or 4 * sc.defaultParallelism
     if layout == "doc":
-        arranged = postings_with_doclen.repartitionByRange(
-            nparts, "doc_id"
-        ).sortWithinPartitions("term", "doc_id")
+        if assume_doc_partitioned:
+            # inverted rows inherit the corpus's doc-range partitioning
+            # (assign_doc_ids range-partitions by url == doc order; the
+            # tokenizer is narrow) — reuse it: sort within partitions only,
+            # NO exchange at all for the serving layout
+            arranged = postings_with_doclen.sortWithinPartitions("term", "doc_id")
+        else:
+            arranged = postings_with_doclen.repartitionByRange(
+                nparts, "doc_id"
+            ).sortWithinPartitions("term", "doc_id")
     else:
         arranged = postings_with_doclen.repartitionByRange(
             nparts, "term", "doc_id"

@@ -58,6 +58,7 @@ def build_index(
     id_col: str | None = None,
     keep_row_postings: bool = True,
     persist: bool = True,
+    term_layout_blocks: bool = False,
 ) -> InvertedIndex:
     """Build all index tables from a corpus DataFrame.
 
@@ -85,8 +86,22 @@ def build_index(
         dmeta = dmeta.persist()
     stats = P.collection_stats(dmeta)
     tstats = P.term_stats(rows_dl)
-    blocks = pack_blocks(rows_dl, stats["avgdl"], block=block)
-    doc_blocks = pack_blocks(rows_dl, stats["avgdl"], block=block, layout="doc")
+    # docIDs were assigned by url-range partitioning, so the inverted rows
+    # are already doc-range partitioned -> serving layout needs no exchange
+    doc_blocks = pack_blocks(
+        rows_dl, stats["avgdl"], block=block, layout="doc",
+        assume_doc_partitioned=(id_col is None),
+    )
+    # the doc-sharded blocks carry the same per-block (term, doc range,
+    # block-max) metadata, so WAND sweeps, the unpacked-postings view and
+    # the shuffle serving path all run on them; the term-clustered layout is
+    # an optional extra for bulk per-term analytics (costs one more full
+    # shuffle+pack over the corpus)
+    blocks = (
+        pack_blocks(rows_dl, stats["avgdl"], block=block)
+        if term_layout_blocks
+        else doc_blocks
+    )
     docstore = docs.select("doc_id", "url", "text")
     from ..operators.blocks import unpack_blocks
 
