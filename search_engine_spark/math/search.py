@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import scoring as S
 from ..plans.build import InvertedIndex
-from ..plans.query import _prox_udf, _qterms_idf_df, _score_frame, digest_query, top_k
+from ..plans.query import _qterms_idf_df, _score_frame, digest_query, top_k
 from .index import extract_math_spans
 from .texparse import tex_subpaths
 

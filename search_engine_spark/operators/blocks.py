@@ -44,7 +44,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions import codec
-from .scoring import BM25_B, BM25_K1, tf_norm_np
+from .scoring import tf_norm_np
 
 DEFAULT_BLOCK = 512  # posting entries per block (reference: ~12KB blocks, mem-index/config.h:12-16)
 

@@ -19,7 +19,6 @@ committed first.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -120,4 +119,5 @@ def finalize_index(spark: SparkSession, path: str, n_parts: int = 8, block: int 
         docstore=docs.select("doc_id", "url", "text"),
         docN=stats["docN"],
         avgdl=stats["avgdl"],
+        doc_blocks=pack_blocks(rows, stats["avgdl"], block=block, layout="doc"),
     )
