@@ -66,10 +66,15 @@ class TexParseError(ValueError):
     pass
 
 
+MAX_DEPTH = 64  # nesting guard (web input can be adversarial; the
+# reference caps decomposition at 64 subpaths anyway)
+
+
 class _Parser:
     def __init__(self, tokens: list[str]):
         self.toks = tokens
         self.i = 0
+        self.depth = 0
 
     def peek(self) -> str | None:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -174,6 +179,15 @@ class _Parser:
         return base
 
     def parse_base(self) -> Node:
+        self.depth += 1
+        if self.depth > MAX_DEPTH:
+            raise TexParseError("nesting too deep")
+        try:
+            return self._parse_base_inner()
+        finally:
+            self.depth -= 1
+
+    def _parse_base_inner(self) -> Node:
         t = self.next()
         if t == "(":
             inner = self.parse_rel()
