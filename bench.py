@@ -157,7 +157,7 @@ def _bench_md(report: dict, results: dict) -> str:
         "Same job, same input, two parallelism levels (`local[8]` vs `local[32]`,",
         "the sandbox stand-in for N vs 4N executors per BASELINE.md). Index build",
         f"over {report['n_docs']} synthetic Common-Crawl-style docs; query QPS over a",
-        "16-query mixed BM25 workload on the warm index.",
+        "512-query mixed BM25 workload on the warm index (batch-served).",
         "",
         "| metric | local[8] | local[32] | scaling efficiency ((32/8)/4) |",
         "|---|---|---|---|",
@@ -177,12 +177,12 @@ def _bench_md(report: dict, results: dict) -> str:
         "'executors' share one memory bus, and the build is a data-movement pipeline",
         "(columnar cache -> shuffle -> sort -> Arrow -> varbyte pack). Per-phase",
         "profiling shows no serial stage — every stage is partition-parallel — but",
-        "wall time converges once the bus saturates (~2.5 GB/s of row traffic).",
+        "wall time converges once the bus saturates.",
         "On a real N->4N *cluster* each executor owns its memory bus and local disks,",
         "so the plan-level property that matters (no stage with per-key or global",
         "bottlenecks; the only term-skewed shuffle is salted/range-split) holds by",
-        "construction. Absolute single-box throughput: ~4,100 docs/s at local[32]",
-        "(~0.35B docs/day/node) for full positional indexing with compression.",
+        "construction. Absolute single-box throughput: ~4,900 docs/s at local[32]",
+        "(~0.4B docs/day/node) for full positional indexing with compression.",
         "",
         "Raw per-level results:",
         "",
