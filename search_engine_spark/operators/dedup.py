@@ -100,15 +100,20 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 8) -> DataFr
     permutation of the shingle space per seed) and is bit-identical across
     engines — which keeps the oracle portable. (doc_id, h0..h{n-1})
     """
-    sh = F.expr(_shingles_expr(k))
-    cols = [F.col("doc_id").cast("long").alias("doc_id")]
+    # materialize the shingle array once, then derive every hash column from
+    # it (inlining the expression per column re-ran the regex n_hashes times)
+    based = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(_shingles_expr(k)).alias("_sh"),
+    )
+    cols = [F.col("doc_id")]
     for s in range(n_hashes):
         cols.append(
             F.expr(
-                f"array_min(transform({_shingles_expr(k)}, x -> md5(cast(concat('{s}:', x) as binary))))"
+                f"array_min(transform(_sh, x -> md5(cast(concat('{s}:', x) as binary))))"
             ).alias(f"h{s}")
         )
-    return docs.select(*cols)
+    return based.select(*cols)
 
 
 def minhash_lsh_pairs(

@@ -445,6 +445,32 @@ def _interval_sweep(meta: pd.DataFrame, idfs: dict[str, float], n_terms: int, th
     return out
 
 
+def _merge_intervals(intervals: list[tuple[int, int]], max_intervals: int) -> list:
+    """Coalesce surviving intervals down to a bounded count by closing the
+    smallest gaps. Enlarging intervals only ADDS candidate docs, so pruning
+    stays upper-bound-safe; the cap keeps the pushdown predicate (an OR
+    chain over ranges) small enough for fast plan compilation."""
+    if len(intervals) <= max_intervals:
+        return intervals
+    ivs = sorted(intervals)
+    gaps = sorted(
+        range(1, len(ivs)), key=lambda i: ivs[i][0] - ivs[i - 1][1], reverse=True
+    )[: max_intervals - 1]
+    keep_breaks = sorted(gaps)
+    out = []
+    start = ivs[0][0]
+    prev_end = ivs[0][1]
+    for i in range(1, len(ivs)):
+        if i in keep_breaks:
+            out.append((start, prev_end))
+            start = ivs[i][0]
+            prev_end = ivs[i][1]
+        else:
+            prev_end = max(prev_end, ivs[i][1])
+    out.append((start, prev_end))
+    return out
+
+
 def _wand_prune(
     spark: SparkSession,
     index: InvertedIndex,
@@ -492,6 +518,7 @@ def _wand_prune(
     intervals = _interval_sweep(meta, idfs, len(terms), thresh)
     if not intervals:
         return seed_scores  # everything else provably below threshold
+    intervals = _merge_intervals(intervals, max_intervals=64)
 
     # phase 2: decode only blocks intersecting surviving intervals
     cond = None
