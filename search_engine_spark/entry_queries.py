@@ -552,6 +552,60 @@ GROUP BY c_custkey, c_name
 ORDER BY total_spent DESC, c_custkey ASC LIMIT 10"""
 
 
+def _q_rel_rollup(spark, sf_dir):
+    """Grouping-sets coverage: ROLLUP over (l_returnflag, l_linestatus)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.round(F.sum("l_quantity"), 2) + F.lit(0.0)).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+SQL_REL_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*)::BIGINT AS n_rows,
+       round(sum(l_quantity), 2) + 0.0 AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
+def _q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: centroids = stored vectors (vec_id 5..8); every vector
+    is assigned to its nearest centroid (argmax cosine); the query searches
+    only its centroid's inverted list. Deterministic (data-derived
+    centroids), so fully SQL-expressible — the scale path where k-means
+    centroids replace the seeds with the identical dataflow."""
+    return SIM.ivf_topk(embeddings(spark, sf_dir), query_vec_id=0, centroid_ids=[5, 6, 7, 8], k=5)
+
+
+SQL_ANN_IVF = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+c AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv, nrm AS cn
+      FROM n WHERE vec_id IN (5, 6, 7, 8)),
+asg AS (SELECT vec_id, v, nrm,
+               (SELECT cid FROM (
+                  SELECT cid, list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cn) AS cos
+                  FROM c ORDER BY cos DESC, cid ASC LIMIT 1)) AS cell
+        FROM n),
+q AS (SELECT v AS qv, nrm AS qn, cell AS qcell FROM asg WHERE vec_id = 0),
+sc AS (SELECT vec_id, cell,
+              list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i])) / (nrm * qn) AS cos
+       FROM asg CROSS JOIN q WHERE cell = qcell AND vec_id <> 0)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank,
+       vec_id::BIGINT AS vec_id, cell::BIGINT AS cell, round(cos, 6) + 0.0 AS cos
+FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5"""
+
+
 def _q_rel_events_topn(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
@@ -613,6 +667,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # --- similarity search ---
     "sim_ann_brute": (_q_ann_brute, SQL_ANN_BRUTE),
     "sim_ann_lsh": (_q_ann_lsh, SQL_ANN_LSH),
+    "sim_ann_ivf": (_q_ann_ivf, SQL_ANN_IVF),
     # --- text analysis ---
     "tx_langid": (_q_langid, SQL_LANGID),
     "tx_quality": (_q_quality, SQL_QUALITY),
@@ -625,4 +680,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rel_pricing_summary": (_q_rel_pricing, SQL_REL_PRICING),
     "rel_top_customers": (_q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
     "rel_events_topn_per_user": (_q_rel_events_topn, SQL_REL_EVENTS_TOPN),
+    "rel_rollup": (_q_rel_rollup, SQL_REL_ROLLUP),
 }

@@ -104,3 +104,52 @@ def lsh_topk(emb: DataFrame, query_vec_id: int, plane_ids: list[int], k: int = 5
         "bucket",
         (F.round("_c", 6) + F.lit(0.0)).alias("cos"),
     )
+
+
+def ivf_topk(emb: DataFrame, query_vec_id: int, centroid_ids: list[int], k: int = 5) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid (argmax
+    cosine over a small data-derived centroid set), search only the query's
+    cell. Production IVF swaps the seed centroids for k-means centroids —
+    the dataflow (cell assignment at write, cell-pruned scan at read) is
+    identical, and at scale the table is partitioned BY cell so the scan
+    prunes at the storage layer. (rank, vec_id, cell, cos)
+    """
+    cents = sorted(centroid_ids)
+    sel = emb
+    for p, cid in enumerate(cents):
+        cv = emb.where(F.col("vec_id") == cid).select(F.col("embedding").alias(f"_c{p}"))
+        sel = sel.crossJoin(F.broadcast(cv))
+    # cell = 1-based index of the max-cosine centroid, ties to the lower id
+    cos_cols = [cosine_expr("embedding", f"_c{p}") for p in range(len(cents))]
+    best = None
+    best_idx = None
+    for p, c in enumerate(cos_cols):
+        if best is None:
+            best, best_idx = c, F.lit(p + 1)
+        else:
+            cond = c > best
+            best_idx = F.when(cond, F.lit(p + 1)).otherwise(best_idx)
+            best = F.when(cond, c).otherwise(best)
+    assigned = sel.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding"),
+        best_idx.cast("long").alias("cell"),
+    )
+    qrow = assigned.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"), F.col("cell").alias("qcell")
+    )
+    cand = (
+        assigned.join(F.broadcast(qrow))
+        .where((F.col("cell") == F.col("qcell")) & (F.col("vec_id") != query_vec_id))
+        .select("vec_id", "cell", cosine_expr("embedding", "qv").alias("_c"))
+    )
+    top = cand.orderBy(F.desc("_c"), F.asc("vec_id")).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("_c"), F.asc("vec_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "vec_id",
+        "cell",
+        (F.round("_c", 6) + F.lit(0.0)).alias("cos"),
+    )
