@@ -81,3 +81,101 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def sessionize(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (the canonical custom-state shape the
+    built-in windowed aggs can't express: variable-length sessions closed
+    by an inactivity gap).
+
+    Emits one row per CLOSED session:
+      (user_id, session_start, session_end, n_events, sum_value)
+    A session closes when the watermark passes its last event + gap.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_ns", LongType()),
+            StructField("end_ns", LongType()),
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+        ]
+    )
+    gap_ns = int(pd.Timedelta(gap).total_seconds() * 1_000_000_000)
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_ns, end_ns, n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_ns)],
+                    "session_end": [pd.Timestamp(end_ns)],
+                    "n_events": [n],
+                    "sum_value": [s],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        ts_ns = rows["ts"].astype("int64").to_numpy()
+        vals = rows["value"].to_numpy()
+        order = ts_ns.argsort()
+        ts_ns, vals = ts_ns[order], vals[order]
+        if state.exists:
+            start_ns, end_ns, n, s = state.get
+        else:
+            start_ns, end_ns, n, s = int(ts_ns[0]), int(ts_ns[0]), 0, 0.0
+        closed = []
+        for t, v in zip(ts_ns, vals):
+            if n > 0 and t - end_ns > gap_ns:
+                closed.append((start_ns, end_ns, n, s))
+                start_ns, n, s = int(t), 0, 0.0
+            end_ns = int(max(end_ns, t))
+            n += 1
+            s += float(v)
+        state.update((start_ns, end_ns, n, s))
+        state.setTimeoutTimestamp(end_ns // 1_000_000 + gap_ns // 1_000_000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(a) for a, _, _, _ in closed],
+                    "session_end": [pd.Timestamp(b) for _, b, _, _ in closed],
+                    "n_events": [n_ for _, _, n_, _ in closed],
+                    "sum_value": [s_ for _, _, _, s_ in closed],
+                }
+            )
+
+    normalized = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        normalized.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )

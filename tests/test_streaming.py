@@ -59,3 +59,54 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
     for k, v in got.items():
         assert exp[k] == v
     assert len(got) >= len(exp) - 3  # trailing windows may stay open
+
+
+def test_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions == batch
+    gap-split sessions (minus each user's final, still-open session)."""
+    import pandas as pd
+
+    from search_engine_spark.streaming.ingest import sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    inp = str(tmp_path / "sess")
+    ev.write.parquet(inp)
+    stream = spark.readStream.schema(ev.schema).parquet(inp)
+    q = (
+        sessionize(stream, gap="6 hours", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.sql("select * from sess").collect()
+    }
+
+    pdf = ev.select("user_id", "ts", "value").toPandas()
+    gap = pd.Timedelta("6 hours")
+    final_watermark = pdf["ts"].max() - pd.Timedelta("1 hour")
+    exp = {}
+    for uid, grp in pdf.groupby("user_id"):
+        grp = grp.sort_values("ts")
+        sessions = []
+        cur = None
+        for ts, v in zip(grp["ts"], grp["value"]):
+            if cur is None or ts - cur["end"] > gap:
+                if cur is not None:
+                    sessions.append(cur)
+                cur = {"start": ts, "end": ts, "n": 0, "s": 0.0}
+            cur["end"] = max(cur["end"], ts)
+            cur["n"] += 1
+            cur["s"] += float(v)
+        # the final session is emitted too IF the event-time timeout fired
+        # (final watermark passed its end + gap); otherwise it stays open
+        if cur is not None and final_watermark > cur["end"] + gap:
+            sessions.append(cur)
+        for c in sessions:
+            exp[(uid, c["start"], c["end"])] = (c["n"], round(c["s"], 6))
+    assert got, "no sessions emitted"
+    assert got == exp
