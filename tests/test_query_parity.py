@@ -81,3 +81,24 @@ def test_search_many_shard_equals_shuffle(spark, index200):
     a = norm(search_many(spark, index200, workload, serving="shard"))
     b = norm(search_many(spark, index200, workload, serving="shuffle"))
     assert a == b
+
+
+@pytest.mark.parametrize("qtext,mode", [(f"{W(1)} {W(2)}", "or"), (f"{W(0)} {W(5)}", "or"), (f"{W(3)} {W(9)}", "and")])
+def test_float32_reference_arithmetic_ranking(spark, index200, pydocs200, qtext, mode):
+    """The C reference computes in float32 (search/bm25-score.c float); the
+    engine in float64. At total-score magnitude ~2e4 (the +10000*match_dim
+    offset) a float32 quantum is ~2e-3, so the reference QUANTIZES nearby
+    scores into exact ties that its unstable heap breaks arbitrarily. The
+    verifiable rank-identity property is therefore: wherever the engine's
+    (float64) order differs from the float32 oracle's order, the float32
+    scores of the swapped docs are bit-identical (a quantization tie)."""
+    import numpy as np
+
+    got = [r["doc_id"] for r in search(spark, index200, qtext, mode=mode).collect()]
+    exp32 = naive_search(pydocs200, qtext, mode=mode, float32=True)
+    s32 = {d: np.float32(s) for d, s in exp32}
+    exp_order = [d for d, _ in exp32]
+    assert set(got) == set(exp_order)
+    for g, e in zip(got, exp_order):
+        if g != e:
+            assert s32[g] == s32[e], (g, e, s32[g], s32[e])
