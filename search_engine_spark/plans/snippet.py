@@ -85,4 +85,4 @@ def snippets_for(index, topk: DataFrame, qterms: list[str]) -> DataFrame:
         F.col("_sn.snippet").alias("snippet"),
         F.col("_sn.n_highlights").alias("n_highlights"),
         "score",
-    )
+    ).orderBy(F.desc("score"), F.asc("doc_id"))  # docstore join loses rank order
