@@ -81,9 +81,22 @@ def build_partitioned(
             "doc_id", "url", "text", F.coalesce("doclen", F.lit(0)).alias("doclen")
         ).write.mode("overwrite").parquet(os.path.join(delta_dir, "docs"))
         n_docs = part.count()
+        # per-partition build metrics (north rule: lineage + metrics): read
+        # them back from the committed delta so they describe what landed
+        m = spark.read.parquet(os.path.join(delta_dir, "postings")).agg(
+            F.count(F.lit(1)).alias("np"),
+            F.sum("tf").alias("nt"),
+            F.sum(F.octet_length("pos_vb")).alias("pb"),
+        ).collect()[0]
+        wall_ms = int((time.time() - t0) * 1000)
         manifest_row = spark.createDataFrame(
-            [(pid, "done", int(n_docs), int((time.time() - t0) * 1000))],
-            "partition_id int, status string, n_docs long, wall_ms long",
+            [(
+                pid, "done", int(n_docs), wall_ms, int(m["np"]), int(m["nt"] or 0),
+                int(m["pb"] or 0),
+                round(n_docs / max(wall_ms / 1000.0, 1e-3), 1),
+            )],
+            "partition_id int, status string, n_docs long, wall_ms long, "
+            "n_postings long, n_tokens_capped long, positions_bytes long, docs_per_sec double",
         )
         manifest_row.coalesce(1).write.mode("append").parquet(_manifest_path(path))
         committed_now.add(pid)

@@ -60,8 +60,10 @@ def test_lineage_manifest_schema(spark, corpus200, tmp_path):
     d = str(tmp_path / "m")
     build_partitioned(spark, corpus200, d, n_parts=2)
     m = spark.read.parquet(f"{d}/lineage")
-    assert set(m.columns) == {"partition_id", "status", "n_docs", "wall_ms"}
+    assert {"partition_id", "status", "n_docs", "wall_ms", "n_postings",
+            "n_tokens_capped", "positions_bytes", "docs_per_sec"} <= set(m.columns)
     rows = m.collect()
     assert {r["partition_id"] for r in rows} == {0, 1}
     assert all(r["status"] == "done" for r in rows)
     assert sum(r["n_docs"] for r in rows) == 200
+    assert all(r["n_postings"] > 0 and r["positions_bytes"] > 0 and r["docs_per_sec"] > 0 for r in rows)
