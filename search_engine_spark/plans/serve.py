@@ -45,10 +45,105 @@ _OUT_SCHEMA = (
 )
 
 
-def _decode_partition(batches: Iterator[pd.DataFrame], want_pos: bool):
-    """Accumulate decoded posting arrays per term for one shard."""
+def _merge_union(intervals: np.ndarray) -> np.ndarray:
+    """[[s,e]...] -> merged union, sorted (inclusive bounds)."""
+    if len(intervals) == 0:
+        return intervals.reshape(0, 2)
+    iv = intervals[np.argsort(intervals[:, 0])]
+    out = [iv[0].tolist()]
+    for s, e in iv[1:]:
+        if s <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return np.asarray(out, dtype=np.int64)
+
+
+def _intersect(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Intersection of two merged interval lists (two-pointer)."""
+    out = []
+    i = j = 0
+    while i < len(a) and j < len(b):
+        s = max(a[i][0], b[j][0])
+        e = min(a[i][1], b[j][1])
+        if s <= e:
+            out.append([s, e])
+        if a[i][1] < b[j][1]:
+            i += 1
+        else:
+            j += 1
+    return np.asarray(out, dtype=np.int64).reshape(-1, 2)
+
+
+def _overlaps(first: np.ndarray, last: np.ndarray, ranges: np.ndarray) -> np.ndarray:
+    """Per-block mask: does [first,last] overlap any allowed range?"""
+    if len(ranges) == 0:
+        return np.zeros(len(first), dtype=bool)
+    starts, ends = ranges[:, 0], ranges[:, 1]
+    # for each block, the candidate range with the greatest start <= last
+    idx = np.searchsorted(starts, last, side="right") - 1
+    ok = idx >= 0
+    ok[ok] &= ends[idx[ok]] >= first[ok]
+    return ok
+
+
+def _conjunctive_skip_mask(pdfs: list[pd.DataFrame], qitems) -> dict[str, np.ndarray] | None:
+    """Block-skip analogue of the reference's galloping AND merge
+    (postmerge.c:103-140 jump over skip lists): for a conjunctive-only
+    workload, a block of term t needs decoding only if it overlaps the
+    intersection of ALL terms' covered doc ranges for some query using t.
+    Returns term -> allowed interval array, or None when any query is
+    disjunctive (OR queries need every block of their terms)."""
+    if any(mode != "and" for _, _, mode in qitems):
+        return None
+    cover: dict[str, list] = {}
+    for pdf in pdfs:
+        for term, grp in pdf.groupby("term"):
+            cover.setdefault(term, []).append(
+                np.stack([grp["first_doc_id"].to_numpy(), grp["last_doc_id"].to_numpy()], 1)
+            )
+    union = {t: _merge_union(np.concatenate(c)) for t, c in cover.items()}
+    needed: dict[str, np.ndarray] = {}
+    for _, kws, _ in qitems:
+        terms = [t for _, t, _ in kws]
+        if any(t not in union for t in terms):
+            continue  # a term absent from this shard: AND result empty here
+        q_range = union[terms[0]]
+        for t in terms[1:]:
+            q_range = _intersect(q_range, union[t])
+            if len(q_range) == 0:
+                break
+        if len(q_range) == 0:
+            continue
+        for t in terms:
+            needed[t] = (
+                q_range if t not in needed
+                else _merge_union(np.concatenate([needed[t], q_range]))
+            )
+    return needed
+
+
+def _decode_partition(batches: Iterator[pd.DataFrame], want_pos: bool, qitems=None):
+    """Accumulate decoded posting arrays per term for one shard.
+
+    With a conjunctive-only workload, blocks outside the AND-coverage
+    intersection are skipped before decode (never varbyte-decoded)."""
+    pdfs = [pdf for pdf in batches if not pdf.empty]
+    skip = _conjunctive_skip_mask(pdfs, qitems) if qitems else None
     acc: dict[str, list] = {}
-    for pdf in batches:
+    for pdf in pdfs:
+        if skip is not None:
+            first = pdf["first_doc_id"].to_numpy()
+            last = pdf["last_doc_id"].to_numpy()
+            mask = np.zeros(len(pdf), dtype=bool)
+            for term, grp_idx in pdf.groupby("term").indices.items():
+                allowed = skip.get(term)
+                if allowed is None or len(allowed) == 0:
+                    continue
+                mask[grp_idx] = _overlaps(first[grp_idx], last[grp_idx], allowed)
+            pdf = pdf[mask]
+            if pdf.empty:
+                continue
         for row in pdf.itertuples(index=False):
             ids = codec.decode_ids(row.doc_ids_blob).astype(np.int64)
             tfs = codec.vb_decode(row.tfs_blob).astype(np.int64)
@@ -162,7 +257,7 @@ def shard_search(
     qitems = [(qid, kws, mode) for qid, (kws, mode) in queries.items()]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decoded = _decode_partition(batches, want_pos=with_prox)
+        decoded = _decode_partition(batches, want_pos=with_prox, qitems=qitems)
         if not decoded:
             return
         frames = []

@@ -102,3 +102,34 @@ def test_float32_reference_arithmetic_ranking(spark, index200, pydocs200, qtext,
     for g, e in zip(got, exp_order):
         if g != e:
             assert s32[g] == s32[e], (g, e, s32[g], s32[e])
+
+
+def test_conjunctive_block_skip_equals_full(spark, index200):
+    """AND-only workloads trigger the kernel's block-skip path (the skip-list
+    galloping analogue); results must equal the shuffle path exactly."""
+    from search_engine_spark.plans.query import search_many
+
+    workload = {
+        "a": (f"{W(3)} {W(9)}", "and"),
+        "b": (f"{W(0)} {W(400)}", "and"),   # skewed + rare
+        "c": (f"{W(1)} {W(2)} {W(4)}", "and"),
+        "d": (f"{W(1)} zzzmissing", "and"),  # absent term => empty
+    }
+    def norm(df):
+        return sorted((r["qid"], r["rank"], r["doc_id"], round(r["score"], 6)) for r in df.collect())
+    a = norm(search_many(spark, index200, workload, serving="shard"))
+    b = norm(search_many(spark, index200, workload, serving="shuffle"))
+    assert a == b
+
+
+def test_interval_helpers():
+    import numpy as np
+
+    from search_engine_spark.plans.serve import _intersect, _merge_union, _overlaps
+
+    u = _merge_union(np.array([[5, 9], [1, 3], [8, 12], [20, 25]]))
+    assert u.tolist() == [[1, 3], [5, 12], [20, 25]]
+    x = _intersect(u, np.array([[2, 6], [11, 21]]))
+    assert x.tolist() == [[2, 3], [5, 6], [11, 12], [20, 21]]
+    m = _overlaps(np.array([0, 4, 13, 22]), np.array([1, 4, 19, 30]), u)
+    assert m.tolist() == [True, False, False, True]
