@@ -214,10 +214,16 @@ def _q_postings(spark, sf_dir):
     )
 
 
-SQL_POSTINGS = f"""WITH {SQL_TOK}
-SELECT term, doc_id::BIGINT AS doc_id, least(count(*), 2048)::BIGINT AS tf,
+# positions are capped to the first 2048 per (term, doc) to mirror the
+# engine's tf cap (reference Q10); the rank filter keeps the oracle honest
+# on any fixture doc with tf > 2048
+SQL_POSTINGS = f"""WITH {SQL_TOK},
+ranked AS (SELECT term, doc_id, pos,
+                  row_number() OVER (PARTITION BY term, doc_id ORDER BY pos) AS rn
+           FROM tok)
+SELECT term, doc_id::BIGINT AS doc_id, count(*)::BIGINT AS tf,
        string_agg(pos, ',' ORDER BY pos) AS positions_csv
-FROM tok GROUP BY term, doc_id"""
+FROM ranked WHERE rn <= 2048 GROUP BY term, doc_id"""
 
 
 def _q_block_roundtrip(spark, sf_dir):
@@ -490,11 +496,47 @@ FROM documents"""
 
 
 def _q_media_features(spark, sf_dir):
+    """Runs the real Arrow-batched mapInPandas feature extractor (stub
+    decode = sha256-derived vector), projected to scalar f0..f7 columns so
+    the driver's pandas canonicalization can hash the rows."""
     docs = documents(spark, sf_dir).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     media = MM.media_frame(docs, payload_col="payload", kind="text")
-    return MM.extract_features(media, dim=8)
+    feats = MM.extract_features(media, dim=8)
+    return feats.select(
+        "doc_id",
+        "kind",
+        "n_bytes",
+        *[
+            (F.round(F.element_at("feature", i + 1), 9) + F.lit(0.0)).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
+def _sql_media_features() -> str:
+    """DuckDB twin of the sha256 feature stub: little-endian uint32 words of
+    sha256(utf8(text)) scaled by 2^-32 — bit-identical float64 math."""
+
+    def nib(i: int) -> str:
+        return f"(position(substr(h, {i + 1}, 1) in '0123456789abcdef') - 1)"
+
+    def byte(i: int) -> str:
+        return f"({nib(2 * i)}*16 + {nib(2 * i + 1)})"
+
+    feats = ",\n       ".join(
+        f"round(({byte(4 * k)} + {byte(4 * k + 1)}*256 + {byte(4 * k + 2)}*65536 "
+        f"+ {byte(4 * k + 3)}*16777216)::DOUBLE / 4294967296.0, 9) + 0.0 AS f{k}"
+        for k in range(8)
+    )
+    return f"""
+WITH h AS (SELECT doc_id::BIGINT AS doc_id, 'text' AS kind,
+                  octet_length(encode(text))::BIGINT AS n_bytes,
+                  sha256(text) AS h FROM documents)
+SELECT doc_id, kind, n_bytes,
+       {feats}
+FROM h"""
 
 
 def _q_snippet(spark, sf_dir):
@@ -675,7 +717,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tx_fingerprint": (_q_fingerprint, SQL_FINGERPRINT),
     # --- multimodal plumbing ---
     "mm_media_meta": (_q_media_meta, SQL_MEDIA_META),
-    "mm_features_stub": (_q_media_features, None),  # sha256 stub; rows-only
+    "mm_features_stub": (_q_media_features, _sql_media_features()),
     # --- relational coverage (joins/aggs/windows on the star schema) ---
     "rel_pricing_summary": (_q_rel_pricing, SQL_REL_PRICING),
     "rel_top_customers": (_q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -42,7 +42,10 @@ FEATURE_SCHEMA = StructType(
         StructField("doc_id", LongType(), False),
         StructField("kind", StringType(), False),
         StructField("n_bytes", LongType(), False),
-        StructField("feature", ArrayType(FloatType()), False),
+        # float64: uint32/2^32 is exact in double, which keeps the stub
+        # bit-identical to the SQL oracle (a float32 cast would round the
+        # low 8 bits and flip 6-dp comparisons ~6% of the time)
+        StructField("feature", ArrayType(DoubleType()), False),
     ]
 )
 
@@ -77,8 +80,8 @@ def extract_features(media: DataFrame, dim: int = 8, decode_stub: bool = True) -
             feats = []
             for payload in pdf["payload"]:
                 h = hashlib.sha256(bytes(payload or b"")).digest()
-                arr = np.frombuffer(h[: dim * 4], dtype=np.uint32).astype(np.float32)
-                feats.append((arr / np.float32(2**32)).tolist())
+                arr = np.frombuffer(h[: dim * 4], dtype="<u4").astype(np.float64)
+                feats.append((arr / 2.0**32).tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
