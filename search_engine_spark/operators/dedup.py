@@ -62,29 +62,64 @@ def shingle_frame(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
     """Pairs (a, b) with k-shingle Jaccard >= threshold (a < b).
 
     Candidate generation via the shared-shingle join (docs sharing zero
-    shingles never pair), then |A∩B| / (|A| + |B| - |A∩B|).
-    (doc_a, doc_b, jaccard)
+    shingles never pair); the Jaccard VALUE is exact over the full shingle
+    sets (array_intersect on the per-doc arrays, per-candidate cost
+    O(|A|+|B|)). (doc_a, doc_b, jaccard)
+
+    ``max_shingle_df``: drop shingles whose document frequency exceeds the
+    cap from CANDIDATE GENERATION only. Without it, one hot shingle (a
+    stopword trigram at web scale) is a full-corpus bucket and the
+    self-join goes quadratic. The trade-off is recall-only and standard:
+    a pair sharing exclusively ultra-common shingles is not surfaced
+    (its Jaccard is dominated by noise anyway); values of surfaced pairs
+    are unaffected because verification uses the full sets.
     """
-    sh = shingle_frame(docs, k)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    inter = (
-        sh.alias("x")
-        .join(sh.alias("y"), "shingle")
+    # materialize the per-doc shingle arrays once: the frame feeds FIVE plan
+    # branches (df stats, both self-join sides, both verify sides) and the
+    # shingling expression is the single most expensive leaf — without the
+    # persist Spark re-tokenizes the corpus per branch
+    based = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(_shingles_expr(k)).alias("_sh"),
+    ).persist()
+    sh = based.select("doc_id", F.explode("_sh").alias("shingle"))
+    cand_sh = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        cand_sh = sh.join(hot, "shingle", "left_anti")
+    cands = (
+        cand_sh.alias("x")
+        .join(cand_sh.alias("y"), "shingle")
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
     )
+    arr_a = based.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
+    arr_b = based.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
     j = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        cands.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).alias("_j"),
+            (
+                F.size(F.array_intersect("_sa", "_sb"))
+                / (F.size("_sa") + F.size("_sb") - F.size(F.array_intersect("_sa", "_sb")))
+            ).alias("_j"),
         )
     )
     return (
@@ -120,19 +155,33 @@ def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = 3,
     n_hashes: int = 8,
-    bands: int = 8,
+    bands: int = 4,
     verify_threshold: float | None = None,
+    max_bucket: int | None = 64,
+    log_drops: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band key (band = md5 of its
     rows' concatenated minhashes). With verify_threshold set, candidates
     are verified with exact shingle Jaccard. (doc_a, doc_b[, jaccard])
+
+    Scale guards (the self-join emits O(bucket^2) rows per bucket, so
+    bucket size is THE cost knob):
+    - rows-per-band >= 2 by default (n_hashes=8, bands=4). With 1 row per
+      band a band key is a single minhash and near-dup-dense corpora
+      collapse into giant buckets — measured 5x SLOWDOWN going
+      local[8] -> local[32] at sf0.1 before this change.
+    - ``max_bucket``: buckets larger than the cap are dropped from
+      candidate generation entirely (recall-only trade-off; members of a
+      giant bucket are near-identical to many docs and surface through
+      their other bands or exact dedup). ``log_drops=True`` counts and
+      logs the dropped buckets (one extra aggregate job).
+    - singleton buckets are filtered before the join (they cannot pair).
     """
     assert n_hashes % bands == 0
     rows = n_hashes // bands
     sig = minhash_signatures(docs, k, n_hashes)
     band_cols = []
     for b in range(bands):
-        parts = ", ".join(f"h{b * rows + r}" for r in range(rows))
         band_cols.append(F.md5(F.concat_ws("|", *[f"h{b * rows + r}" for r in range(rows)]).cast("binary")).alias(f"band{b}"))
     banded = sig.select("doc_id", *band_cols)
     stacked = banded.select(
@@ -141,9 +190,27 @@ def minhash_lsh_pairs(
             F.array(*[F.struct(F.lit(b).alias("band_no"), F.col(f"band{b}").alias("key")) for b in range(bands)])
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band_no").alias("band_no"), F.col("bk.key").alias("key"))
+    # (doc_id, band_no, key) feeds three branches (bucket sizing + both
+    # self-join sides); persist so the n_hashes md5-min scans run once
+    stacked = stacked.persist()
+    sizes = stacked.groupBy("band_no", "key").agg(F.count(F.lit(1)).alias("_bsz"))
+    cap = F.lit(max_bucket) if max_bucket is not None else None
+    keep = sizes.where(F.col("_bsz") >= 2)
+    if cap is not None:
+        if log_drops:
+            import logging
+
+            n_dropped = sizes.where(F.col("_bsz") > cap).count()
+            if n_dropped:
+                logging.getLogger(__name__).warning(
+                    "minhash_lsh_pairs: dropped %d oversized buckets (> %d members)",
+                    n_dropped, max_bucket,
+                )
+        keep = keep.where(F.col("_bsz") <= cap)
+    ok = stacked.join(keep.select("band_no", "key"), ["band_no", "key"])
     pairs = (
-        stacked.alias("x")
-        .join(stacked.alias("y"), ["band_no", "key"])
+        ok.alias("x")
+        .join(ok.alias("y"), ["band_no", "key"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
