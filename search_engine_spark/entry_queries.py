@@ -558,11 +558,61 @@ FROM h"""
 
 
 def _q_snippet(spark, sf_dir):
+    """Q17 snippet rendering over the rounded-rank top-20 of the or2 query.
+
+    The full <em>-wrapped snippet string runs through the real pandas-UDF
+    renderer (covered by pytest goldens); the driver-compared columns are
+    the SQL-checkable slice of its semantics: highlight count (<=8,
+    MAX_HIGHLIGHT_OCCURS) and the FIRST merged +-320-byte window bounds
+    (reference search/snippet.c:52-297)."""
     from .plans.snippet import snippets_for
 
     idx = get_index(spark, sf_dir)
-    res = search(spark, idx, "merge join", mode="or", k=20)
-    return snippets_for(idx, res, ["merge", "join"]).select("doc_id", "n_highlights", "snippet")
+    res = search(spark, idx, "merge join", mode="or", k=20 + 64)
+    top = _ranked(res, k=20).select("doc_id")
+    hits = res.join(top, "doc_id")
+    sn = snippets_for(idx, hits, ["merge", "join"])
+    return sn.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_highlights").cast("long"),
+        F.col("w0_start").cast("long"),
+        F.col("w0_end").cast("long"),
+    )
+
+
+# token byte offsets are reconstructible in SQL because the testdata text
+# is exactly space-joined [a-zA-Z]+ tokens (asserted: every doc at every SF
+# satisfies text == array_to_string(tokens, ' ')); off(pos) = bytes of the
+# first `pos` tokens joined + 1 separator
+SQL_SNIPPET = f"""
+WITH top AS ({{top20}}),
+nb AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS nbytes FROM documents),
+{SQL_TOK},
+occ AS (
+  SELECT tok.doc_id, tok.term, tok.pos,
+         CASE WHEN tok.pos = 0 THEN 0
+              ELSE length(array_to_string(arr.a[1:tok.pos], ' ')) + 1 END AS off,
+         length(tok.term) AS tl
+  FROM tok JOIN top ON tok.doc_id = top.doc_id JOIN arr ON arr.doc_id = tok.doc_id
+  WHERE tok.term IN ('merge', 'join')),
+r AS (SELECT occ.*, nb.nbytes,
+             row_number() OVER (PARTITION BY occ.doc_id ORDER BY pos) AS rn,
+             count(*) OVER (PARTITION BY occ.doc_id) AS nh_all
+      FROM occ JOIN nb ON nb.doc_id = occ.doc_id),
+w AS (SELECT doc_id, rn, least(nh_all, 8) AS n_highlights,
+             greatest(off - 320, 0) AS ws,
+             least(off + tl + 320, nbytes) AS we
+      FROM r WHERE rn <= 8),
+isl AS (SELECT *, CASE WHEN rn = 1 THEN 0
+                       WHEN ws > max(we) OVER (PARTITION BY doc_id ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS brk
+        FROM w),
+cum AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY rn) AS isl_id FROM isl)
+SELECT doc_id::BIGINT AS doc_id, max(n_highlights)::BIGINT AS n_highlights,
+       min(ws)::BIGINT AS w0_start, max(we)::BIGINT AS w0_end
+FROM cum WHERE isl_id = 0 GROUP BY doc_id
+""".format(top20=_bm25_sql(["merge", "join"], "or", k=20).replace("ORDER BY rank", ""))
 
 
 def _q_rel_pricing(spark, sf_dir):
@@ -666,6 +716,64 @@ SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank,
 FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5"""
 
 
+def _q_sessions(spark, sf_dir):
+    """Gap-sessionization over the events table through the SAME per-group
+    kernel the streaming ``applyInPandasWithState`` operator runs
+    (streaming/ingest.py); batch closes every session. Timestamps travel
+    as epoch microseconds so the cross-engine compare is integer-exact."""
+    from .streaming.ingest import sessionize_batch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize_batch(ev, gap="30 minutes")
+    return s.select(
+        F.col("user_id").cast("long"),
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        F.col("n_events").cast("long"),
+        (F.round("sum_value", 4) + F.lit(0.0)).alias("sum_value_r"),
+    )
+
+
+SQL_SESSIONS = """
+WITH e AS (SELECT user_id::BIGINT AS user_id, ts, value FROM events),
+m AS (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM e),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id, epoch_us(min(ts))::BIGINT AS start_us,
+       epoch_us(max(ts))::BIGINT AS end_us,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) + 0.0 AS sum_value_r
+FROM s GROUP BY user_id, sid"""
+
+
+def _q_window_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation (the streaming operator run
+    on the bounded table; withWatermark is a no-op on batch input, the
+    window/agg plan is identical to the stream's)."""
+    from .streaming.ingest import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = windowed_event_counts(ev, window="1 hour")
+    return w.select(
+        F.unix_micros("window_start").alias("win_start_us"),
+        F.unix_micros("window_end").alias("win_end_us"),
+        "event_type",
+        F.col("n_events").cast("long"),
+        (F.round("sum_value", 4) + F.lit(0.0)).alias("sum_value_r"),
+    )
+
+
+SQL_WINDOW_COUNTS = """
+SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS win_start_us,
+       epoch_us(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR)::BIGINT AS win_end_us,
+       event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) + 0.0 AS sum_value_r
+FROM events GROUP BY 1, 2, 3"""
+
+
 def _q_rel_events_topn(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
@@ -716,7 +824,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ft_pagination": (_q_pagination, SQL_PAGINATION),
     "ft_highlight_occurs": (_q_highlight_occurs, SQL_HIGHLIGHT_OCCURS),
     "ft_title": (_q_title, SQL_TITLE),
-    "ft_snippet": (_q_snippet, None),  # pandas-UDF rendering; rows-only check
+    "ft_snippet": (_q_snippet, SQL_SNIPPET),
     # --- dedup suite ---
     "dd_exact": (_q_exact_dedup, SQL_EXACT_DEDUP),
     "dd_ngram_jaccard": (_q_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -736,6 +844,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # --- multimodal plumbing ---
     "mm_media_meta": (_q_media_meta, SQL_MEDIA_META),
     "mm_features_stub": (_q_media_features, _sql_media_features()),
+    # --- streaming operators (batch twins of streaming/ingest.py) ---
+    "st_sessions": (_q_sessions, SQL_SESSIONS),
+    "st_window_counts": (_q_window_counts, SQL_WINDOW_COUNTS),
     # --- relational coverage (joins/aggs/windows on the star schema) ---
     "rel_pricing_summary": (_q_rel_pricing, SQL_REL_PRICING),
     "rel_top_customers": (_q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),

@@ -29,18 +29,26 @@ _OUT = StructType(
     [
         StructField("snippet", StringType()),
         StructField("n_highlights", IntegerType()),
+        StructField("w0_start", IntegerType()),
+        StructField("w0_end", IntegerType()),
     ]
 )
 
 
-def render_snippet(text: str, qterms: list[str]) -> tuple[str, int]:
-    """Pure-Python snippet renderer for one document."""
+def render_snippet(text: str, qterms: list[str]) -> tuple[str, int, int, int]:
+    """Pure-Python snippet renderer for one document.
+
+    Returns (snippet, n_highlights, w0_start, w0_end); w0_* are the byte
+    bounds of the FIRST merged highlight window — the SQL-checkable slice
+    of the rendering (the driver oracle recomputes them from token
+    offsets; reference window semantics search/snippet.c:52-297).
+    """
     qset = set(qterms)
     slices = tokenize_slices(text)
     occurs = [(s[2], s[0]) for s in slices if s[0] in qset][:MAX_HIGHLIGHT_OCCURS]
-    if not occurs:
-        return text[: 2 * SNIPPET_PADDING], 0
     raw = text.encode("utf-8", errors="surrogatepass")
+    if not occurs:
+        return text[: 2 * SNIPPET_PADDING], 0, 0, min(len(raw), 2 * SNIPPET_PADDING)
     windows = []
     for off, term in occurs:
         start = max(0, off - SNIPPET_PADDING)
@@ -64,7 +72,7 @@ def render_snippet(text: str, qterms: list[str]) -> tuple[str, int]:
             cursor = mend
         chunk.append(raw[cursor:wend].decode("utf-8", errors="replace"))
         parts.append("".join(chunk))
-    return " ... ".join(parts), len(occurs)
+    return " ... ".join(parts), len(occurs), windows[0][0], windows[0][1]
 
 
 def snippets_for(index, topk: DataFrame, qterms: list[str]) -> DataFrame:
@@ -75,7 +83,14 @@ def snippets_for(index, topk: DataFrame, qterms: list[str]) -> DataFrame:
     @F.pandas_udf(_OUT)
     def _render(texts: pd.Series) -> pd.DataFrame:
         out = [render_snippet(t if isinstance(t, str) else "", qlist) for t in texts]
-        return pd.DataFrame({"snippet": [s for s, _ in out], "n_highlights": [n for _, n in out]})
+        return pd.DataFrame(
+            {
+                "snippet": [s for s, _, _, _ in out],
+                "n_highlights": [n for _, n, _, _ in out],
+                "w0_start": [a for _, _, a, _ in out],
+                "w0_end": [b for _, _, _, b in out],
+            }
+        )
 
     rendered = hits.withColumn("_sn", _render(F.col("text")))
     return rendered.select(
@@ -84,5 +99,7 @@ def snippets_for(index, topk: DataFrame, qterms: list[str]) -> DataFrame:
         F.substring_index("text", "\n\n", 1).alias("title"),
         F.col("_sn.snippet").alias("snippet"),
         F.col("_sn.n_highlights").alias("n_highlights"),
+        F.col("_sn.w0_start").alias("w0_start"),
+        F.col("_sn.w0_end").alias("w0_end"),
         "score",
     ).orderBy(F.desc("score"), F.asc("doc_id"))  # docstore join loses rank order

@@ -15,7 +15,8 @@ from search_engine_spark.plans.snippet import (
 
 def test_render_basic():
     text = "alpha beta gamma delta"
-    sn, n = render_snippet(text, ["beta", "delta"])
+    sn, n, w0s, w0e = render_snippet(text, ["beta", "delta"])
+    assert (w0s, w0e) == (0, len(text))
     assert n == 2
     assert f"{HL_OPEN}beta{HL_CLOSE}" in sn
     assert f"{HL_OPEN}delta{HL_CLOSE}" in sn
@@ -23,14 +24,14 @@ def test_render_basic():
 
 
 def test_render_no_match_returns_prefix():
-    sn, n = render_snippet("x " * 500, ["missing"])
+    sn, n, _, _ = render_snippet("x " * 500, ["missing"])
     assert n == 0
     assert len(sn) <= 640
 
 
 def test_occurs_capped_at_8():
     text = "hit " * 50
-    sn, n = render_snippet(text, ["hit"])
+    sn, n, _, _ = render_snippet(text, ["hit"])
     assert n == MAX_HIGHLIGHT_OCCURS
     assert sn.count(HL_OPEN) == MAX_HIGHLIGHT_OCCURS
 
@@ -39,7 +40,8 @@ def test_padding_windows_merge():
     # two distant hits in a long doc produce an elided ' ... ' join
     filler = "pad " * 400  # 1600 bytes >> 2*320 padding
     text = f"needle {filler} needle"
-    sn, n = render_snippet(text, ["needle"])
+    sn, n, w0s, w0e = render_snippet(text, ["needle"])
+    assert w0s == 0 and w0e == len("needle") + 320  # first window, not merged with the far hit
     assert n == 2
     assert " ... " in sn
     assert sn.count(HL_OPEN) == 2
