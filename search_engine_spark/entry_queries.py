@@ -716,6 +716,128 @@ SELECT row_number() OVER (ORDER BY cos DESC, vec_id ASC)::BIGINT AS rank,
 FROM sc ORDER BY cos DESC, vec_id ASC LIMIT 5"""
 
 
+# ------------------------------------------------------------ math engine --
+
+# Deterministic TeX corpus derived from the documents table (testdata has no
+# [imath] spans of its own): four expression templates parameterized by
+# doc_id, plus a second single-symbol expression per doc. The ORACLE does
+# not re-parse TeX — it emits the subpaths each template is KNOWN to
+# decompose into, so a driver match is end-to-end evidence that the real
+# parser (math/texparse.py; reference tex-parser/grammar.y) produces exactly
+# the expected leaf-root path sets on every instance.
+
+
+def _math_docs(spark, sf_dir):
+    d = documents(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"))
+    v1 = F.expr("char(97 + doc_id % 5)")
+    v2 = F.expr("char(97 + (doc_id div 5) % 5)")
+    n = F.expr("cast(1 + doc_id % 9 as string)")
+    t = F.col("doc_id") % 4
+    e0 = (
+        F.when(t == 0, F.concat(v1, F.lit("+\\frac{"), n, F.lit("}{"), v1, F.lit("}")))
+        .when(t == 1, F.concat(v1, F.lit("^{"), n, F.lit("}")))
+        .when(t == 2, F.concat(F.lit("\\frac{"), v1, F.lit("}{"), v2, F.lit("}")))
+        .otherwise(F.concat(v1, F.lit(" "), v2, F.lit("+"), n))
+    )
+    text = F.concat(
+        F.lit("see [imath]"), e0, F.lit("[/imath] and [imath]"), v2, F.lit("[/imath] end")
+    )
+    return d.select("doc_id", text.alias("text"))
+
+
+def _q_mx_subpaths(spark, sf_dir):
+    """I6/I17: TeX parse -> leaf-root subpath postings through the real
+    mapInPandas extractor (math/index.py; reference math-index/subpath-set.c)."""
+    from .math.index import build_math_index
+
+    mp = build_math_index(_math_docs(spark, sf_dir))
+    return mp.select(
+        "subpath",
+        "is_gener",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("exp_id").cast("long").alias("exp_id"),
+        F.col("n_paths").cast("long").alias("n_paths"),
+    )
+
+
+SQL_MX_BASE = """
+base AS (SELECT doc_id::BIGINT AS doc_id,
+                chr(97 + (doc_id % 5)::INT) AS v1,
+                chr(97 + ((doc_id // 5) % 5)::INT) AS v2,
+                (1 + doc_id % 9)::VARCHAR AS n,
+                (doc_id % 4)::INT AS t
+         FROM documents)
+"""
+
+SQL_MX_SUBPATHS = f"""
+WITH {SQL_MX_BASE},
+p AS (
+  SELECT doc_id, 'VAR(' || v1 || ')/add' AS subpath, false AS is_gener, 6::BIGINT AS n_paths FROM base WHERE t = 0
+  UNION ALL SELECT doc_id, 'NUM(' || n || ')/frac#1/add', false, 6 FROM base WHERE t = 0
+  UNION ALL SELECT doc_id, 'VAR(' || v1 || ')/frac#2/add', false, 6 FROM base WHERE t = 0
+  UNION ALL SELECT doc_id, 'V/add', true, 6 FROM base WHERE t = 0
+  UNION ALL SELECT doc_id, 'N/frac#1/add', true, 6 FROM base WHERE t = 0
+  UNION ALL SELECT doc_id, 'V/frac#2/add', true, 6 FROM base WHERE t = 0
+  UNION ALL SELECT doc_id, 'VAR(' || v1 || ')/sup#1', false, 4 FROM base WHERE t = 1
+  UNION ALL SELECT doc_id, 'NUM(' || n || ')/sup#2', false, 4 FROM base WHERE t = 1
+  UNION ALL SELECT doc_id, 'V/sup#1', true, 4 FROM base WHERE t = 1
+  UNION ALL SELECT doc_id, 'N/sup#2', true, 4 FROM base WHERE t = 1
+  UNION ALL SELECT doc_id, 'VAR(' || v1 || ')/frac#1', false, 4 FROM base WHERE t = 2
+  UNION ALL SELECT doc_id, 'VAR(' || v2 || ')/frac#2', false, 4 FROM base WHERE t = 2
+  UNION ALL SELECT doc_id, 'V/frac#1', true, 4 FROM base WHERE t = 2
+  UNION ALL SELECT doc_id, 'V/frac#2', true, 4 FROM base WHERE t = 2
+  UNION ALL SELECT doc_id, 'VAR(' || v1 || ')/times/add', false,
+                   CASE WHEN v1 = v2 THEN 4 ELSE 5 END FROM base WHERE t = 3
+  UNION ALL SELECT doc_id, 'VAR(' || v2 || ')/times/add', false, 5 FROM base WHERE t = 3 AND v1 <> v2
+  UNION ALL SELECT doc_id, 'NUM(' || n || ')/add', false,
+                   CASE WHEN v1 = v2 THEN 4 ELSE 5 END FROM base WHERE t = 3
+  UNION ALL SELECT doc_id, 'V/times/add', true,
+                   CASE WHEN v1 = v2 THEN 4 ELSE 5 END FROM base WHERE t = 3
+  UNION ALL SELECT doc_id, 'N/add', true,
+                   CASE WHEN v1 = v2 THEN 4 ELSE 5 END FROM base WHERE t = 3
+),
+p2 AS (
+  SELECT doc_id, 'VAR(' || v2 || ')' AS subpath, false AS is_gener, 2::BIGINT AS n_paths FROM base
+  UNION ALL SELECT doc_id, 'V', true, 2 FROM base
+)
+SELECT subpath, is_gener, doc_id, 0::BIGINT AS exp_id, n_paths FROM p
+UNION ALL
+SELECT subpath, is_gener, doc_id, 1::BIGINT AS exp_id, n_paths FROM p2"""
+
+
+def _mx_match_query(tex: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .math.index import build_math_index
+        from .math.search import math_expr_scores
+
+        mp = build_math_index(_math_docs(spark, sf_dir))
+        sc = math_expr_scores(spark, mp, tex)
+        return sc.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.round("math_score", 6) + F.lit(0.0)).alias("math_score_r"),
+        )
+
+    return fn
+
+
+# query a+\frac{2}{a}: structurally matches ONLY template-0 expressions
+# (gener paths V/add, N/frac#1/add, V/frac#2/add all present); concrete
+# matches add weight 2 each (VAR(a)x2 when v1='a', NUM(2) when n=2);
+# denom = 2*3 + 1*3 = 9; nq = nd = 6 so the size-symmetry factor is 1
+SQL_MX_MATCH_T0 = f"""
+WITH {SQL_MX_BASE}
+SELECT doc_id, round((3 + CASE WHEN v1 = 'a' THEN 4 ELSE 0 END
+                        + CASE WHEN n = '2' THEN 2 ELSE 0 END) / 9.0, 6) + 0.0 AS math_score_r
+FROM base WHERE t = 0"""
+
+# query \frac{a}{b}: matches ONLY template-2 expressions; denom = 6, nq=nd=4
+SQL_MX_MATCH_T2 = f"""
+WITH {SQL_MX_BASE}
+SELECT doc_id, round((2 + CASE WHEN v1 = 'a' THEN 2 ELSE 0 END
+                        + CASE WHEN v2 = 'b' THEN 2 ELSE 0 END) / 6.0, 6) + 0.0 AS math_score_r
+FROM base WHERE t = 2"""
+
+
 def _q_sessions(spark, sf_dir):
     """Gap-sessionization over the events table through the SAME per-group
     kernel the streaming ``applyInPandasWithState`` operator runs
@@ -844,6 +966,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # --- multimodal plumbing ---
     "mm_media_meta": (_q_media_meta, SQL_MEDIA_META),
     "mm_features_stub": (_q_media_features, _sql_media_features()),
+    # --- math engine (Q19-Q21 / I6 / I17) ---
+    "mx_subpaths": (_q_mx_subpaths, SQL_MX_SUBPATHS),
+    "mx_expr_match": (_mx_match_query("a+\\frac{2}{a}"), SQL_MX_MATCH_T0),
+    "mx_expr_match_frac": (_mx_match_query("\\frac{a}{b}"), SQL_MX_MATCH_T2),
     # --- streaming operators (batch twins of streaming/ingest.py) ---
     "st_sessions": (_q_sessions, SQL_SESSIONS),
     "st_window_counts": (_q_window_counts, SQL_WINDOW_COUNTS),
