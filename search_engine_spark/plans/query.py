@@ -333,14 +333,17 @@ def search(
         )
 
     if serving == "auto":
-        serving = "shard" if (index.doc_blocks is not None and not wand and use_blocks) else "shuffle"
+        serving = "shard" if (index.doc_blocks is not None and use_blocks) else "shuffle"
     if serving == "shard":
         from .serve import resolve_keywords, shard_search
 
+        # wand=True turns on in-kernel block-max pruning (each shard seeds
+        # its own threshold; zero extra driver round-trips). The driver-side
+        # metadata sweep below remains only for the shuffle serving path.
         kws = resolve_keywords(spark, index, {"q": (qtext, mode)})
-        return shard_search(spark, index, kws, k=k, with_prox=with_prox).select(
-            "doc_id", "bm25", "match_dim", "n_matched_terms", "prox", "score"
-        )
+        return shard_search(
+            spark, index, kws, k=k, with_prox=with_prox, prune=wand
+        ).select("doc_id", "bm25", "match_dim", "n_matched_terms", "prox", "score")
 
     if wand and use_blocks:
         idfs = _query_terms_with_idf(index, terms)

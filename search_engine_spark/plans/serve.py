@@ -123,6 +123,31 @@ def _conjunctive_skip_mask(pdfs: list[pd.DataFrame], qitems) -> dict[str, np.nda
     return needed
 
 
+def _decode_frame(pdf: pd.DataFrame, want_pos: bool, acc: dict) -> None:
+    """Varbyte-decode one frame of block rows into the per-term accumulator."""
+    for row in pdf.itertuples(index=False):
+        ids = codec.decode_ids(row.doc_ids_blob).astype(np.int64)
+        tfs = codec.vb_decode(row.tfs_blob).astype(np.int64)
+        dls = codec.vb_decode(row.doclens_blob).astype(np.int64)
+        pos = (
+            codec.vb_decode(row.positions_blob).astype(np.int64)
+            if want_pos
+            else np.empty(0, dtype=np.int64)
+        )
+        acc.setdefault(row.term, []).append((ids, tfs, dls, pos))
+
+
+def _finish_decode(acc: dict, want_pos: bool) -> dict:
+    out = {}
+    for term, chunks in acc.items():
+        ids = np.concatenate([c[0] for c in chunks])
+        tfs = np.concatenate([c[1] for c in chunks])
+        dls = np.concatenate([c[2] for c in chunks])
+        pos = np.concatenate([c[3] for c in chunks]) if want_pos else None
+        out[term] = (ids, tfs, dls, pos)
+    return out
+
+
 def _decode_partition(batches: Iterator[pd.DataFrame], want_pos: bool, qitems=None):
     """Accumulate decoded posting arrays per term for one shard.
 
@@ -144,24 +169,78 @@ def _decode_partition(batches: Iterator[pd.DataFrame], want_pos: bool, qitems=No
             pdf = pdf[mask]
             if pdf.empty:
                 continue
-        for row in pdf.itertuples(index=False):
-            ids = codec.decode_ids(row.doc_ids_blob).astype(np.int64)
-            tfs = codec.vb_decode(row.tfs_blob).astype(np.int64)
-            dls = codec.vb_decode(row.doclens_blob).astype(np.int64)
-            pos = (
-                codec.vb_decode(row.positions_blob).astype(np.int64)
-                if want_pos
-                else np.empty(0, dtype=np.int64)
-            )
-            acc.setdefault(row.term, []).append((ids, tfs, dls, pos))
+        _decode_frame(pdf, want_pos, acc)
+    return _finish_decode(acc, want_pos)
+
+
+def _filter_decoded(decoded: dict, ranges: np.ndarray) -> dict:
+    """Keep only posting entries whose doc_id lies in the merged, sorted
+    ``ranges`` (inclusive). Positions (flat stream, per-entry length == tf)
+    are masked with np.repeat so the stream stays aligned."""
+    if len(ranges) == 0:
+        return {}
+    starts, ends = ranges[:, 0], ranges[:, 1]
     out = {}
-    for term, chunks in acc.items():
-        ids = np.concatenate([c[0] for c in chunks])
-        tfs = np.concatenate([c[1] for c in chunks])
-        dls = np.concatenate([c[2] for c in chunks])
-        pos = np.concatenate([c[3] for c in chunks]) if want_pos else None
-        out[term] = (ids, tfs, dls, pos)
+    for term, (ids, tfs, dls, pos) in decoded.items():
+        idx = np.searchsorted(starts, ids, side="right") - 1
+        keep = idx >= 0
+        keep[keep] &= ids[keep] <= ends[idx[keep]]
+        if not keep.any():
+            continue
+        if pos is not None and len(pos):
+            pos = pos[np.repeat(keep, tfs)]
+        out[term] = (ids[keep], tfs[keep], dls[keep], pos)
     return out
+
+
+def _wand_score_shard(pdfs: list, kws, avgdl: float, k: int, with_prox: bool):
+    """Shard-local block-max WAND for one disjunctive query.
+
+    The reference's score-threshold pruning over skip lists
+    (search/search-utils.c:322-335 + mem-index/skippy.h) re-expressed
+    per shard with NO driver round-trips (Ding & Suel, SIGIR'11):
+
+      1. seed: exactly score the doc range of the single block with the
+         highest upper bound (idf * block_max_tfn) -> threshold T = this
+         shard's kth best total (a valid lower bound on the shard's final
+         kth score);
+      2. sweep all block metadata into elementary doc intervals; an
+         interval whose summed covering upper bounds (+ max prox ln 1.3 +
+         full match-dim bonus) stays below T cannot hold a local top-k
+         doc — its blocks are never varbyte-decoded;
+      3. decode surviving blocks, drop entries outside surviving
+         intervals (their term sums would be partial AND they are provably
+         below T), score exactly, local top-k.
+
+    Pruned == full equality is asserted in tests/test_wand.py."""
+    from .query import _interval_sweep
+
+    if not pdfs:
+        return None
+    meta = pd.concat(pdfs, ignore_index=True)
+    idfs = {t: float(i) for _, t, i in kws}
+    first = meta["first_doc_id"].to_numpy()
+    last = meta["last_doc_id"].to_numpy()
+    ub = np.maximum(
+        meta["block_max_tfn"].to_numpy(dtype=np.float64)
+        * meta["term"].map(idfs).to_numpy(dtype=np.float64),
+        0.0,
+    )
+    bi = int(np.argmax(ub))
+    seed = np.array([[int(first[bi]), int(last[bi])]], dtype=np.int64)
+    acc: dict = {}
+    _decode_frame(meta[_overlaps(first, last, seed)], with_prox, acc)
+    decoded = _filter_decoded(_finish_decode(acc, with_prox), seed)
+    res = _score_one_query(kws, decoded, avgdl, "or", k, with_prox)
+    thresh = float(res[5][k - 1]) if res is not None and len(res[0]) >= k else -math.inf
+    intervals = _interval_sweep(meta, idfs, len(kws), thresh)
+    if not intervals:
+        return res  # everything outside the seed range is provably below T
+    ranges = _merge_union(np.asarray(intervals, dtype=np.int64))
+    acc = {}
+    _decode_frame(meta[_overlaps(first, last, ranges)], with_prox, acc)
+    decoded = _filter_decoded(_finish_decode(acc, with_prox), ranges)
+    return _score_one_query(kws, decoded, avgdl, "or", k, with_prox)
 
 
 def _score_one_query(
@@ -243,11 +322,16 @@ def shard_search(
     queries: dict[str, tuple[list[tuple[int, str, float]], str]],
     k: int = S.RANK_K,
     with_prox: bool = True,
+    prune: bool = False,
 ) -> DataFrame:
     """Batch serve over the doc-sharded blocks.
 
     ``queries``: qid -> ([(kw_idx, term, idf)], mode). Returns
     (qid, rank, doc_id, bm25, match_dim, n_matched_terms, prox, score).
+
+    ``prune=True`` + a single disjunctive query routes through the
+    shard-local block-max WAND (_wand_score_shard); conjunctive workloads
+    always get the AND-coverage block skip regardless.
     """
     all_terms = sorted({t for kws, _ in queries.values() for _, t, _ in kws})
     if not all_terms:
@@ -255,8 +339,33 @@ def shard_search(
     blocks = index.doc_blocks.filter(F.col("term").isin(all_terms))
     avgdl = index.avgdl
     qitems = [(qid, kws, mode) for qid, (kws, mode) in queries.items()]
+    wand_q = None
+    if prune and len(qitems) == 1 and qitems[0][2] == "or" and qitems[0][1]:
+        wand_q = qitems[0]
+
+    def _frame(qid, res):
+        udoc, bm25, match_dim, n_matched, prox, total = res
+        return pd.DataFrame(
+            {
+                "qid": qid,
+                "doc_id": udoc,
+                "bm25": bm25,
+                "match_dim": match_dim,
+                "n_matched_terms": n_matched,
+                "prox": prox,
+                "score": total,
+            }
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if wand_q is not None:
+            qid, kws, _ = wand_q
+            res = _wand_score_shard(
+                [pdf for pdf in batches if not pdf.empty], kws, avgdl, k, with_prox
+            )
+            if res is not None:
+                yield _frame(qid, res)
+            return
         decoded = _decode_partition(batches, want_pos=with_prox, qitems=qitems)
         if not decoded:
             return
@@ -265,20 +374,7 @@ def shard_search(
             res = _score_one_query(kws, decoded, avgdl, mode, k, with_prox)
             if res is None:
                 continue
-            udoc, bm25, match_dim, n_matched, prox, total = res
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "qid": qid,
-                        "doc_id": udoc,
-                        "bm25": bm25,
-                        "match_dim": match_dim,
-                        "n_matched_terms": n_matched,
-                        "prox": prox,
-                        "score": total,
-                    }
-                )
-            )
+            frames.append(_frame(qid, res))
         if frames:
             yield pd.concat(frames, ignore_index=True)
 
