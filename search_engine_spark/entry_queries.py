@@ -838,6 +838,28 @@ SELECT doc_id, round((2 + CASE WHEN v1 = 'a' THEN 2 ELSE 0 END
 FROM base WHERE t = 2"""
 
 
+def _q_mx_mnc(spark, sf_dir):
+    """Q20 MNC mark-and-cross fidelity scoring (search/mnc-score.c) over
+    the ordered leaf-root path index; oracle = the closed-form score the
+    bitmap algorithm provably yields on the template corpus: the 'a' run
+    marks both VAR slots (100 each when v1='a', else 99), the '2' path
+    marks the NUM slot (100 when n=2, else 99), depth and breath deltas
+    are 0 (nq = nd = 3)."""
+    from .math.index import build_math_lr_index
+    from .math.search import mnc_expr_scores
+
+    lr = build_math_lr_index(_math_docs(spark, sf_dir))
+    sc = mnc_expr_scores(spark, lr, "a+\\frac{2}{a}")
+    return sc.select(F.col("doc_id").cast("long"), F.col("mnc_score").cast("long"))
+
+
+SQL_MX_MNC = f"""
+WITH {SQL_MX_BASE}
+SELECT doc_id, (CASE WHEN v1 = 'a' THEN 200 ELSE 198 END
+              + CASE WHEN n = '2' THEN 100 ELSE 99 END)::BIGINT AS mnc_score
+FROM base WHERE t = 0"""
+
+
 def _q_sessions(spark, sf_dir):
     """Gap-sessionization over the events table through the SAME per-group
     kernel the streaming ``applyInPandasWithState`` operator runs
@@ -970,6 +992,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mx_subpaths": (_q_mx_subpaths, SQL_MX_SUBPATHS),
     "mx_expr_match": (_mx_match_query("a+\\frac{2}{a}"), SQL_MX_MATCH_T0),
     "mx_expr_match_frac": (_mx_match_query("\\frac{a}{b}"), SQL_MX_MATCH_T2),
+    "mx_mnc_rank": (_q_mx_mnc, SQL_MX_MNC),
     # --- streaming operators (batch twins of streaming/ingest.py) ---
     "st_sessions": (_q_sessions, SQL_SESSIONS),
     "st_window_counts": (_q_window_counts, SQL_WINDOW_COUNTS),

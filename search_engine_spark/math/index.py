@@ -61,6 +61,49 @@ def extract_math_spans(text: str) -> list[str]:
     return out
 
 
+MATH_LR_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("exp_id", IntegerType(), False),
+        StructField("struct", StringType(), False),  # gener-form leaf-root path
+        StructField("symbol", StringType(), False),  # concrete leaf symbol
+        StructField("path_id", IntegerType(), False),  # 1..64, leaf order
+        StructField("n_lr", IntegerType(), False),  # expression's lr-path count
+    ]
+)
+
+
+def build_math_lr_index(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> ordered leaf-root path table for MNC scoring.
+
+    One row per LEAF per expression (the reference's pathinfo records,
+    math-index/math-posting.h:10-32): positions become MNC path_ids.
+    Narrow Arrow pass like build_math_index.
+    """
+    from .texparse import tex_lr_paths
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {"doc_id": [], "exp_id": [], "struct": [], "symbol": [], "path_id": [], "n_lr": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue
+                for exp_id, tex in enumerate(extract_math_spans(text)):
+                    paths = tex_lr_paths(tex)
+                    for pid, (struct, symbol) in enumerate(paths, start=1):
+                        rows["doc_id"].append(doc_id)
+                        rows["exp_id"].append(exp_id)
+                        rows["struct"].append(struct)
+                        rows["symbol"].append(symbol)
+                        rows["path_id"].append(pid)
+                        rows["n_lr"].append(len(paths))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(extract, MATH_LR_SCHEMA)
+
+
 def build_math_index(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> math_postings. Narrow Arrow pass, no shuffle."""
 

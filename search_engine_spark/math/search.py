@@ -65,6 +65,126 @@ def math_expr_scores(spark: SparkSession, math_postings: DataFrame, tex: str) ->
     )
 
 
+def mnc_expr_scores(spark: SparkSession, lr_postings: DataFrame, tex: str) -> DataFrame:
+    """Reference-fidelity expression ranking: the MNC mark-and-cross score
+    (search/mnc-score.c, math-expr-search.c:280-360) over the ordered
+    leaf-root path table (build_math_lr_index).
+
+    Dataflow: broadcast the (tiny, sorted) query-path frame; a nested-loop
+    prefix/suffix match generates per-(doc,exp) relevance rows; candidates
+    must match EVERY distinct query structure (the reference's AND dir
+    merge) and satisfy n_qry <= n_doc paths; the bitmap mark-and-cross then
+    runs per candidate expression inside applyInPandas — the quadratic-ish
+    loop only ever touches the candidate tail, never the corpus. Use the
+    containment similarity (math_expr_scores) as the cheap pre-rank and
+    this as the fidelity re-rank.
+
+    Returns (doc_id, mnc_score) with the per-doc max expression score.
+    """
+    import pandas as pd
+
+    from .mnc import expr_mnc_sim, order_query_paths
+    from .texparse import tex_lr_paths
+
+    qpaths = tex_lr_paths(tex)
+    if not qpaths:
+        return spark.createDataFrame([], "doc_id long, mnc_score long")
+    q_sorted = order_query_paths(qpaths)
+    n_q = len(q_sorted)
+    qdf = spark.createDataFrame(
+        [(i, s, sym) for i, (s, sym) in enumerate(q_sorted)],
+        "q_ord int, q_struct string, q_sym string",
+    )
+    is_wild = F.col("q_sym") == "*"
+    trail = F.expr("substring(q_struct, 3)")  # struct minus the 'V/' leaf marker
+    match_cond = F.when(
+        is_wild,
+        (F.length("q_struct") <= 1)
+        | (F.col("struct") == trail)
+        | F.col("struct").endswith(F.concat(F.lit("/"), trail)),
+    ).otherwise(
+        (F.col("struct") == F.col("q_struct"))
+        | F.col("struct").startswith(F.concat(F.col("q_struct"), F.lit("/")))
+    )
+    matched = lr_postings.where(F.col("n_lr") >= n_q).join(
+        F.broadcast(qdf), match_cond
+    )
+    cands = (
+        matched.groupBy("doc_id", "exp_id")
+        .agg(F.countDistinct("q_ord").alias("_nq"))
+        .where(F.col("_nq") == n_q)  # every query path matched (AND merge)
+        .select("doc_id", "exp_id")
+    )
+    rows = matched.join(cands, ["doc_id", "exp_id"]).select(
+        "doc_id", "exp_id", "struct", "symbol", "path_id", "n_lr"
+    )
+    qlist = list(q_sorted)
+
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # only structurally RELEVANT doc paths reach the executor (one row
+        # per matching query path — dedup by path_id); n_lr carries the
+        # true expression size for the breath penalty
+        seen = set()
+        dedup = []
+        for s, sym, pid in sorted(zip(pdf["struct"], pdf["symbol"], pdf["path_id"]), key=lambda x: x[2]):
+            if pid in seen:
+                continue
+            seen.add(pid)
+            dedup.append((s, sym, pid))
+        n_d = int(pdf["n_lr"].iloc[0])
+        sim = _mnc_sim_sparse(qlist, dedup, n_d)
+        return pd.DataFrame(
+            {
+                "doc_id": [int(pdf["doc_id"].iloc[0])],
+                "exp_id": [int(pdf["exp_id"].iloc[0])],
+                "mnc_score": [sim],
+            }
+        )
+
+    per_exp = rows.groupBy("doc_id", "exp_id").applyInPandas(
+        score_group, "doc_id long, exp_id int, mnc_score long"
+    )
+    return (
+        per_exp.where(F.col("mnc_score") > 0)
+        .groupBy("doc_id")
+        .agg(F.max("mnc_score").alias("mnc_score"))
+    )
+
+
+def _mnc_sim_sparse(q_sorted, doc_rows, n_d: int) -> int:
+    """expr_mnc_sim twin over pre-matched sparse doc rows [(struct, sym,
+    path_id)] with the true expression size n_d (the full path list is not
+    shipped — only structurally relevant rows reach the executor)."""
+    from .mnc import MAX_DOC_PATHS, mnc_total, struct_match_depth
+
+    n_q = len(q_sorted)
+    if n_q == 0 or n_d == 0 or n_q > n_d:
+        return 0
+    doc_syms: list[str] = []
+    slot_of: dict[str, int] = {}
+    rel: list[dict[int, int]] = [dict() for _ in q_sorted]
+    min_d = [None] * n_q
+    for struct, sym, pid in doc_rows:
+        if pid > MAX_DOC_PATHS:
+            continue
+        for i, (q_struct, q_sym) in enumerate(q_sorted):
+            d = struct_match_depth(q_struct, q_sym, struct)
+            if d is None:
+                continue
+            if sym not in slot_of:
+                slot_of[sym] = len(doc_syms)
+                doc_syms.append(sym)
+            j = slot_of[sym]
+            rel[i][j] = rel[i].get(j, 0) | (1 << (pid - 1))
+            if min_d[i] is None or d < min_d[i]:
+                min_d[i] = d
+    if any(m is None for m in min_d):
+        return 0
+    level = max(min_d)
+    total = mnc_total([s for _, s in q_sorted], doc_syms, rel)
+    return total // (level + (n_d - n_q) + 1)
+
+
 def split_query(qtext: str) -> tuple[list[str], list[str]]:
     """Mixed query -> (term keywords, tex keywords).
 
@@ -86,9 +206,17 @@ def mixed_search(
     mode: str = "or",
     k: int = S.RANK_K,
     with_prox: bool = True,
+    math_lr_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Full mixed term+math query -> top-k
-    (doc_id, bm25, match_dim, max_math, prox, score)."""
+    (doc_id, bm25, match_dim, max_math, prox, score).
+
+    With ``math_lr_postings`` (build_math_lr_index output) supplied, the
+    math component is re-scored with the reference-fidelity MNC
+    mark-and-cross (normalized to [0,1]: exact match = 1.0), restricted to
+    the containment pre-rank's candidate docs — the cheap column aggregate
+    prunes, the bitmap loop only touches the tail.
+    """
     terms, texes = split_query(qtext)
 
     # per-doc max over all TEX keywords (reference keeps a global max,
@@ -96,6 +224,18 @@ def mixed_search(
     math_df = None
     for tex in texes:
         mdf = math_expr_scores(spark, math_postings, tex)
+        if math_lr_postings is not None:
+            from .texparse import tex_lr_paths
+
+            n_q = len(tex_lr_paths(tex))
+            if n_q:
+                lr = math_lr_postings.join(
+                    mdf.select("doc_id").distinct(), "doc_id", "left_semi"
+                )
+                mnc = mnc_expr_scores(spark, lr, tex)
+                mdf = mnc.select(
+                    "doc_id", (F.col("mnc_score") / F.lit(100.0 * n_q)).alias("math_score")
+                )
         math_df = mdf if math_df is None else math_df.unionByName(mdf)
     if math_df is not None:
         math_df = math_df.groupBy("doc_id").agg(F.max("math_score").alias("max_math"))

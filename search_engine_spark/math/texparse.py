@@ -302,6 +302,48 @@ def subpaths(node: Node) -> list[tuple[str, bool]]:
     return sorted(set(out))
 
 
+def lr_paths(node: Node) -> list[tuple[str, str]]:
+    """Operator tree -> ORDERED leaf-root paths [(struct, symbol)].
+
+    Unlike ``subpaths`` (a dedup'd set for indexing), this keeps one entry
+    per LEAF in leaf order — the reference's subpath list whose positions
+    become MNC path_ids (math-expr-search.c:69-78 assign_path_id_in_order).
+    ``struct`` is the gener-form path (leaf-kind marker V/N + operator
+    trail); ``symbol`` is the concrete leaf symbol, '*' for \\qvar
+    wildcards (a symbol that matches nothing exactly, so wildcards earn
+    the normal MNC_MARK_SCORE but never the exact-match bonus).
+    """
+    out: list[tuple[str, str]] = []
+
+    def walk(n: Node, trail: list[str]) -> None:
+        if len(out) >= MAX_SUBPATHS:
+            return
+        if n.is_leaf:
+            up = "/".join(reversed(trail))
+            suffix = ("/" + up) if up else ""
+            if n.op == "qvar":
+                out.append(("V" + suffix, "*"))
+            elif n.op == "num":
+                out.append(("N" + suffix, n.sym))
+            else:
+                out.append(("V" + suffix, n.sym))
+            return
+        for rank, child in enumerate(n.children, start=1):
+            tag = f"{n.op}#{rank}" if n.op in ORDERED else n.op
+            walk(child, [*trail, tag])
+
+    walk(node, [])
+    return out
+
+
+def tex_lr_paths(tex: str) -> list[tuple[str, str]]:
+    """Parse + ordered decomposition; [] on parse failure."""
+    try:
+        return lr_paths(tex_parse(tex))
+    except TexParseError:
+        return []
+
+
 def tex_subpaths(tex: str) -> list[tuple[str, bool]]:
     """Parse + decompose; returns [] on parse failure (the reference counts
     parse errors and skips the expression, indexer/index.c:82-94)."""

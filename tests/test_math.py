@@ -123,3 +123,26 @@ def test_split_query():
     # caps at 4 math keywords (searchd/config.h:23)
     q = " ".join("[imath]x[/imath]" for _ in range(6))
     assert len(split_query(q)[1]) == 4
+
+
+def test_mixed_search_mnc_rerank(spark, math_setup):
+    """math_lr_postings switches the math component to the MNC fidelity
+    score: exact expression match normalizes to max_math == 1.0 and the
+    commutative twin stays tied (mark-and-cross is order-free on ADD)."""
+    from search_engine_spark.math.index import build_math_lr_index
+    from search_engine_spark.math.search import mixed_search
+
+    idx, mp = math_setup
+    docs = spark.createDataFrame(
+        [(i + 1, f"https://m.local/{i:04d}", t) for i, (_, t) in enumerate(MATH_DOCS)],
+        "doc_id long, url string, text string",
+    )
+    lr = build_math_lr_index(docs).cache()
+    res = mixed_search(
+        spark, idx, mp, "[imath]a+\\frac 1 a[/imath]", math_lr_postings=lr
+    ).collect()
+    scores = {r["doc_id"]: r["max_math"] for r in res if r["max_math"] > 0}
+    assert scores[KEY_TO_ID["exact"]] == 1.0
+    assert scores[KEY_TO_ID["commut"]] == 1.0
+    assert scores[KEY_TO_ID["alpha"]] < 1.0
+    assert scores[KEY_TO_ID["alpha"]] > scores.get(KEY_TO_ID["partial"], 0.0)
