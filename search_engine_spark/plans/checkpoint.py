@@ -108,29 +108,38 @@ def build_partitioned(
 
 
 def finalize_index(spark: SparkSession, path: str, n_parts: int = 8, block: int = 512):
-    """Union committed deltas -> stats -> blocks -> final index tables."""
-    from ..operators.blocks import pack_blocks
+    """Union committed deltas -> stats -> blocks -> final index tables.
+
+    Reads ONLY the manifest's committed partition directories (a wildcard
+    glob would silently union stale deltas left at the same path by an
+    earlier build with a different n_parts), and packs blocks ONCE in the
+    doc-sharded serving layout — the same blocks serve WAND metadata
+    sweeps and bulk analytics (cf. build_index), so the second full
+    shuffle+pack pass the old code ran bought nothing.
+    """
+    from ..operators.blocks import pack_blocks, unpack_blocks
     from .build import InvertedIndex
 
     done = committed_partitions(spark, path)
     if len(done) != n_parts:
         missing = sorted(set(range(n_parts)) - done)
         raise RuntimeError(f"cannot finalize: partitions missing {missing}")
-    rows = spark.read.parquet(os.path.join(path, "delta_p*", "postings"))
-    docs = spark.read.parquet(os.path.join(path, "delta_p*", "docs"))
+    expected = sorted(set(range(n_parts)))
+    post_dirs = [os.path.join(path, f"delta_p{pid:04d}", "postings") for pid in expected]
+    doc_dirs = [os.path.join(path, f"delta_p{pid:04d}", "docs") for pid in expected]
+    rows = spark.read.parquet(*post_dirs)
+    docs = spark.read.parquet(*doc_dirs)
     dmeta = docs.select("doc_id", "doclen")
     stats = P.collection_stats(dmeta)
     tstats = P.term_stats(rows.select("term", "doc_id", "tf"))
-    blocks = pack_blocks(rows, stats["avgdl"], block=block)
-    from ..operators.blocks import unpack_blocks
-
+    doc_blocks = pack_blocks(rows, stats["avgdl"], block=block, layout="doc")
     return InvertedIndex(
-        postings=unpack_blocks(blocks),
-        blocks=blocks,
+        postings=unpack_blocks(doc_blocks),
+        blocks=doc_blocks,
         doc_meta=dmeta,
         term_stats=tstats,
         docstore=docs.select("doc_id", "url", "text"),
         docN=stats["docN"],
         avgdl=stats["avgdl"],
-        doc_blocks=pack_blocks(rows, stats["avgdl"], block=block, layout="doc"),
+        doc_blocks=doc_blocks,
     )

@@ -41,3 +41,74 @@ def test_mix_tokens_frame(spark):
     df = spark.createDataFrame([(1, "你好 world")], "doc_id long, text string")
     rows = mix_tokens_frame(df).orderBy("pos").collect()
     assert [(r["pos"], r["term"]) for r in rows] == [(0, "你"), (1, "好"), (2, "world")]
+
+
+# --- property: run boundaries match the reference flex rule -----------------
+# txt-seg/lexer.mix.l:23 `({engword}|{chinese}|[ ])+` hands MAXIMAL runs of
+# letters/CJK/spaces to the segmenter; "[imath]".."[/imath]" is a separate
+# start condition (unterminated -> rest swallowed). The model below is that
+# lexer restated; the test asserts our tokenizer hands the segment hook the
+# same slice boundaries on arbitrary mixed fixtures. (Deviation kept out of
+# scope: flex's {chinese} byte class 0x80-0xf3 sweeps in ALL non-ASCII text
+# incl. Latin-1; our char class is CJK-only — the alphabet here sticks to
+# real CJK so both agree.)
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_engine_spark.functions.mix_tokenizer import _CJK_RE
+
+_PIECES = ["cat", "X", "中", "文词", "测试汉", " ", "  ", "7", ".", ",", "!",
+           "[imath]", "[/imath]", "a+b", "]", "[", "imath"]
+
+
+def _model_runs(text):
+    """Flex-twin scanner: returns the run/math event sequence."""
+    events, pos, n = [], 0, len(text)
+    run = ""
+    while pos < n:
+        if text.startswith("[imath]", pos):
+            if run.strip():
+                events.append(("run", run.strip()))
+            run = ""
+            close = text.find("[/imath]", pos + 7)
+            if close < 0:
+                return events  # swallowed to EOF
+            events.append(("math",))
+            pos = close + 8
+            continue
+        ch = text[pos]
+        if (ch.isascii() and (ch.isalpha() or ch == " ")) or _CJK_RE.match(ch):
+            run += ch
+            pos += 1
+            continue
+        if run.strip():
+            events.append(("run", run.strip()))
+        run = ""
+        pos += 1
+    if run.strip():
+        events.append(("run", run.strip()))
+    return events
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.sampled_from(_PIECES), max_size=25))
+def test_mix_run_boundaries_match_flex(pieces):
+    from search_engine_spark.functions.mix_tokenizer import mix_tokenize_text
+
+    text = "".join(pieces)
+    captured = []
+
+    def spy(run):
+        captured.append(("run", run.strip()))
+        return []
+
+    toks = mix_tokenize_text(text, segment=spy)
+    n_math = toks.count("math_exp")
+    model = _model_runs(text)
+    got_runs = [e for e in captured if e[0] == "run" and e[1]]
+    model_runs = [e for e in model if e[0] == "run"]
+    assert got_runs == model_runs, (text, got_runs, model_runs)
+    assert n_math == sum(1 for e in model if e[0] == "math"), text
