@@ -32,7 +32,7 @@ import re
 from dataclasses import dataclass, field
 
 UNORDERED = {"add", "times", "rel", "fun", "sep"}
-ORDERED = {"frac", "sup", "sub", "root", "neg", "fact"}
+ORDERED = {"frac", "sup", "sub", "root", "neg", "fact", "binom", "mod", "vect", "mat", "row"}
 
 _GREEK = (
     "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi "
@@ -46,8 +46,10 @@ _RELS = {"=": "eq", "<": "lt", ">": "gt", "le": "le", "ge": "ge", "leq": "le",
 _IGNORED_CMDS = {"left", "right", "big", "Big", "bigg", "Bigg", "limits", "nolimits",
                  "quad", "qquad", ",", ";", "!", " ", "mathrm", "mathbf", "mathit", "text"}
 
+_ACCENTS = "vec hat bar dot ddot tilde overline underline widehat widetilde".split()
+
 _TOKEN_RE = re.compile(
-    r"\\[a-zA-Z]+|\\[,;! ]|[0-9]+(?:\.[0-9]+)?|[a-zA-Z]|[+\-*/^_=<>(){}\[\]!|,]|\S"
+    r"\\\\|\\[a-zA-Z]+|\\[,;! ]|[0-9]+(?:\.[0-9]+)?|[a-zA-Z]|[+\-*/^_=<>(){}\[\]!|,&']|\S"
 )
 
 
@@ -103,13 +105,24 @@ class _Parser:
             right = self.parse_expr()
             rels.append((name, right))
         if not rels:
-            return left
-        # relation chain: unordered rel node over operands + rel-name leaves
-        children = [left]
-        for name, right in rels:
-            children.append(Node("var", sym=f"rel:{name}"))
-            children.append(right)
-        return Node("rel", children=children)
+            node = left
+        else:
+            # relation chain: unordered rel node over operands + rel-name leaves
+            children = [left]
+            for name, right in rels:
+                children.append(Node("var", sym=f"rel:{name}"))
+                children.append(right)
+            node = Node("rel", children=children)
+        # TeX primitives splitting the enclosing group: {a \over b} == \frac a b,
+        # {n \choose k} == \binom n k (grammar.y _OVER / CHOOSE precedence)
+        t = self.peek()
+        if t in ("\\over", "\\atop"):
+            self.next()
+            return Node("frac", children=[node, self.parse_rel()])
+        if t == "\\choose":
+            self.next()
+            return Node("binom", children=[node, self.parse_rel()])
+        return node
 
     # expr := ['-'] term (('+'|'-') term)*
     def parse_expr(self) -> Node:
@@ -134,14 +147,19 @@ class _Parser:
         factors = [self.parse_factor()]
         while True:
             t = self.peek()
-            if t in ("*",) or t in ("\\cdot", "\\times"):
+            if t in ("*",) or t in ("\\cdot", "\\times", "\\ast", "\\circ"):
                 self.next()
                 factors.append(self.parse_factor())
-            elif t == "/":
+            elif t in ("/", "\\div"):
                 self.next()
                 denom = self.parse_factor()
                 num = factors.pop() if len(factors) == 1 else Node("times", children=factors)
                 factors = [Node("frac", children=[num, denom])]
+            elif t in ("\\bmod", "\\mod"):
+                self.next()
+                rhs = self.parse_factor()
+                lhs = factors.pop() if len(factors) == 1 else Node("times", children=factors)
+                factors = [Node("mod", children=[lhs, rhs])]
             elif t is not None and self._starts_factor(t):
                 factors.append(self.parse_factor())  # juxtaposition => TIMES
             else:
@@ -161,18 +179,23 @@ class _Parser:
                 name in _GREEK
                 or name in _FUNS
                 or name in _BIGOPS
-                or name in ("frac", "sqrt", "qvar")
+                or name in _ACCENTS
+                or name in ("frac", "sqrt", "qvar", "binom", "begin")
                 or name in _IGNORED_CMDS
             )
         return False
 
-    # factor := base (('^'|'_') base | '!')*
+    # factor := base (('^'|'_') base | '!' | prime)*
     def parse_factor(self) -> Node:
         base = self.parse_base()
-        while self.peek() in ("^", "_", "!"):
+        while self.peek() in ("^", "_", "!", "'"):
             t = self.next()
             if t == "!":
                 base = Node("fact", children=[base])
+                continue
+            if t == "'":
+                # PRIME token class: x' models as x^prime
+                base = Node("sup", children=[base, Node("var", sym="prime")])
                 continue
             script = self.parse_base()
             base = Node("sup" if t == "^" else "sub", children=[base, script])
@@ -211,6 +234,8 @@ class _Parser:
         if t.startswith("\\"):
             name = t[1:]
             if name in _IGNORED_CMDS:
+                if name in ("left", "right") and self.peek() == ".":
+                    self.next()  # \left. / \right. invisible delimiter
                 return self.parse_base()
             if name in _GREEK:
                 return Node("var", sym=name)
@@ -227,6 +252,18 @@ class _Parser:
                 a = self.parse_base()
                 b = self.parse_base()
                 return Node("frac", children=[a, b])
+            if name == "binom":
+                a = self.parse_base()
+                b = self.parse_base()
+                return Node("binom", children=[a, b])
+            if name in _ACCENTS:
+                # VECT class: accent name travels as an ordered head leaf so
+                # \vec{x} != \hat{x} but both alpha-match via gener paths
+                return Node("vect", children=[Node("var", sym=f"acc:{name}"), self.parse_base()])
+            if name == "pmod":
+                return Node("fun", children=[Node("var", sym="fun:pmod"), self.parse_base()])
+            if name == "begin":
+                return self._parse_matrix()
             if name == "sqrt":
                 if self.peek() == "[":
                     self.next()
@@ -251,6 +288,54 @@ class _Parser:
         if t == ",":
             return Node("var", sym="sep:comma")
         raise TexParseError(f"unexpected token {t!r}")
+
+    def _consume_brace_group(self) -> str:
+        """Read a { ... } group as a raw string (env names, col specs)."""
+        if self.peek() != "{":
+            return ""
+        self.next()
+        parts = []
+        depth = 1
+        while depth and self.peek() is not None:
+            t = self.next()
+            depth += t == "{"
+            depth -= t == "}"
+            if depth:
+                parts.append(t)
+        return "".join(parts)
+
+    def _parse_matrix(self) -> Node:
+        """\\begin{matrix} a & b \\\\ c & d \\end{matrix} and friends
+        (pmatrix/bmatrix/vmatrix/cases/array; grammar.y TAB_ROW/TAB_COL,
+        _BEGIN_MAT/_END_MAT). Rows and cells are ORDER-significant."""
+        env = self._consume_brace_group()
+        if env == "array" and self.peek() == "{":
+            self._consume_brace_group()  # column spec, layout-only
+        rows: list[Node] = []
+        cells: list[Node] = []
+        while True:
+            t = self.peek()
+            if t is None:
+                break
+            if t == "\\end":
+                self.next()
+                self._consume_brace_group()
+                break
+            if t == "&":
+                self.next()
+                continue
+            if t == "\\\\":
+                self.next()
+                if cells:
+                    rows.append(Node("row", children=cells))
+                    cells = []
+                continue
+            cells.append(self.parse_rel())
+        if cells:
+            rows.append(Node("row", children=cells))
+        if not rows:
+            raise TexParseError(f"empty {env or 'matrix'} environment")
+        return Node("mat", children=rows)
 
 
 def tex_parse(tex: str) -> Node:

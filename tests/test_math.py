@@ -146,3 +146,49 @@ def test_mixed_search_mnc_rerank(spark, math_setup):
     assert scores[KEY_TO_ID["commut"]] == 1.0
     assert scores[KEY_TO_ID["alpha"]] < 1.0
     assert scores[KEY_TO_ID["alpha"]] > scores.get(KEY_TO_ID["partial"], 0.0)
+
+
+def test_grammar_breadth():
+    """Round-2 token classes (reference grammar.y:35-67): _OVER/CHOOSE
+    primitives, BINOM, PRIME, VECT accents, MODULAR, matrix environments."""
+    from search_engine_spark.math.texparse import tex_subpaths as sp
+
+    assert sp("{a \\over b}") == sp("\\frac{a}{b}") == sp("a \\div b")
+    assert sp("{n \\choose k}") == sp("\\binom{n}{k}")
+    assert sp("\\binom{n}{k}") != sp("\\binom{k}{n}")  # ordered
+    assert sp("f'") != sp("f")  # prime is structural
+    assert sp("\\vec{x}") != sp("\\hat{x}")  # accent kind is concrete
+    gener = lambda t: {p for p, g in sp(t) if g}
+    assert gener("\\vec{x}") == gener("\\hat{x}")  # but alpha-equal
+    assert sp("a \\bmod n") != sp("n \\bmod a")  # ordered
+    m = sp("\\begin{matrix} a & b \\\\ c & d \\end{matrix}")
+    mt = sp("\\begin{matrix} a & c \\\\ b & d \\end{matrix}")
+    assert m and m != mt  # cell positions are order-significant
+    assert sp("\\begin{pmatrix} 1 \\\\ 0 \\end{pmatrix}")
+    assert sp("\\begin{array}{cc} x & y \\end{array}")
+    assert sp("\\lim_{x \\to 0} \\frac{\\sin x}{x}")
+    assert sp("a' \\cdot b") and sp("x''")
+
+
+def test_parser_fuzz_never_raises():
+    """tex_subpaths must be total: arbitrary input either parses or skips
+    (the reference counts n_parse_err and moves on, indexer/index.c:82-94)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from search_engine_spark.math.texparse import MAX_SUBPATHS, tex_subpaths
+
+    pieces = st.sampled_from(
+        ["a", "1", "+", "-", "^", "_", "{", "}", "(", ")", "\\frac", "\\over",
+         "\\begin{matrix}", "\\end{matrix}", "&", "\\\\", "'", "!", "|", " ",
+         "\\qvar{x}", "\\sqrt", "[", "]", "\\vec", "\\bmod", "=", "\\to"]
+    )
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.lists(pieces, max_size=20))
+    def run(parts):
+        out = tex_subpaths(" ".join(parts))
+        assert isinstance(out, list)
+        assert len(out) <= 2 * MAX_SUBPATHS
+
+    run()
