@@ -918,6 +918,56 @@ SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS win_start_us,
 FROM events GROUP BY 1, 2, 3"""
 
 
+def _q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF with TRAINED centroids: deterministic Lloyd's k-means (init =
+    4 lowest vec_ids, 2 fixed iterations, cosine assignment, lowest-index
+    tie-break), then a cell-pruned scan. The oracle unrolls the identical
+    two iterations in SQL, so a match verifies the whole training loop."""
+    return SIM.ivf_kmeans_topk(embeddings(spark, sf_dir), query_vec_id=0, k_cells=4, n_iter=2, k=5)
+
+
+def _sql_ivf_kmeans() -> str:
+    cos = (
+        "(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])) / "
+        "(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+        "sqrt(list_sum(list_transform({b}, x -> x * x)))))"
+    )
+
+    def assign(cents: str, name: str) -> str:
+        return (
+            f"{name} AS (SELECT vec_id, v, cid AS cell FROM (\n"
+            f"  SELECT e.vec_id, e.v, c.cid,\n"
+            f"         row_number() OVER (PARTITION BY e.vec_id\n"
+            f"           ORDER BY {cos.format(a='e.v', b='c.cv')} DESC, c.cid ASC) AS rn\n"
+            f"  FROM e CROSS JOIN {cents} c) WHERE rn = 1)"
+        )
+
+    def mean(asg: str, prev: str, name: str) -> str:
+        return (
+            f"{name}_d AS (SELECT cell, unnest(range(1, len(v) + 1)) AS i, unnest(v) AS x FROM {asg}),\n"
+            f"{name}_m AS (SELECT cell AS cid, list(m ORDER BY i) AS cv FROM\n"
+            f"  (SELECT cell, i, avg(x) AS m FROM {name}_d GROUP BY cell, i) GROUP BY cell),\n"
+            f"{name} AS (SELECT p.cid, coalesce(n.cv, p.cv) AS cv\n"
+            f"           FROM {prev} p LEFT JOIN {name}_m n USING (cid))"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+       FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+{assign('c0', 'a1')},
+{mean('a1', 'c0', 'c1')},
+{assign('c1', 'a2')},
+{mean('a2', 'c1', 'c2')},
+{assign('c2', 'a3')},
+q AS (SELECT v AS qv, cell AS qcell FROM a3 WHERE vec_id = 0),
+sc AS (SELECT vec_id, cell, {cos.format(a='v', b='qv')} AS c
+       FROM a3 CROSS JOIN q WHERE cell = qcell AND vec_id <> 0)
+SELECT row_number() OVER (ORDER BY c DESC, vec_id ASC)::BIGINT AS rank,
+       vec_id::BIGINT AS vec_id, cell::BIGINT AS cell, round(c, 6) + 0.0 AS cos
+FROM sc ORDER BY c DESC, vec_id ASC LIMIT 5"""
+
+
 def _q_rel_events_topn(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
@@ -980,6 +1030,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sim_ann_brute": (_q_ann_brute, SQL_ANN_BRUTE),
     "sim_ann_lsh": (_q_ann_lsh, SQL_ANN_LSH),
     "sim_ann_ivf": (_q_ann_ivf, SQL_ANN_IVF),
+    "sim_ann_ivf_kmeans": (_q_ann_ivf_kmeans, _sql_ivf_kmeans()),
     # --- text analysis ---
     "tx_langid": (_q_langid, SQL_LANGID),
     "tx_quality": (_q_quality, SQL_QUALITY),

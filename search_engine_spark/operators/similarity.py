@@ -106,6 +106,89 @@ def lsh_topk(emb: DataFrame, query_vec_id: int, plane_ids: list[int], k: int = 5
     )
 
 
+def kmeans_centroids(emb: DataFrame, k: int = 4, n_iter: int = 2) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over the embedding column (cosine
+    assignment, per-dimension mean update).
+
+    Init = the vectors of the k smallest vec_ids; a FIXED iteration count
+    and lowest-index tie-breaks make the result reproducible in any engine
+    (the SQL oracle unrolls the same iterations). Each round is one
+    narrow assignment pass + one groupBy(cell, dim) mean — the centroids
+    (k x dim doubles) are the only driver-side data at any corpus size.
+    """
+    init = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(F.expr(_dbl("embedding")).alias("v"))
+        .collect()
+    )
+    cents = [list(r["v"]) for r in init]
+    for _ in range(n_iter):
+        assigned = assign_cells(emb, cents).select(
+            "cell", F.posexplode(F.expr(_dbl("embedding"))).alias("dim", "x")
+        )
+        means = (
+            assigned.groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cell", F.expr("transform(dm, e -> e.m)").alias("v"))
+            .collect()
+        )
+        new = {int(r["cell"]): list(r["v"]) for r in means}
+        # empty cells keep their previous centroid (standard Lloyd's rule)
+        cents = [new.get(p + 1, cents[p]) for p in range(k)]
+    return cents
+
+
+def assign_cells(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """+ cell column: 1-based argmax-cosine centroid, ties to the lower id."""
+    best = None
+    best_idx = None
+    for p, cv in enumerate(centroids):
+        lit = "array(" + ", ".join(repr(float(x)) + "D" for x in cv) + ")"
+        c = F.expr(
+            f"aggregate(zip_with({_dbl('embedding')}, {lit}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+        ) / (norm_expr("embedding") * F.lit(sum(x * x for x in cv) ** 0.5))
+        if best is None:
+            best, best_idx = c, F.lit(p + 1)
+        else:
+            cond = c > best
+            best_idx = F.when(cond, F.lit(p + 1)).otherwise(best_idx)
+            best = F.when(cond, c).otherwise(best)
+    return emb.withColumn("cell", best_idx.cast("long"))
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame, query_vec_id: int, k_cells: int = 4, n_iter: int = 2, k: int = 5
+) -> DataFrame:
+    """IVF with trained (k-means) centroids: the production shape of
+    ivf_topk — cell assignment at write time, cell-pruned scan at read.
+    (rank, vec_id, cell, cos)"""
+    cents = kmeans_centroids(emb, k=k_cells, n_iter=n_iter)
+    assigned = assign_cells(emb, cents).select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding", "cell"
+    )
+    qrow = assigned.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv"), F.col("cell").alias("qcell")
+    )
+    cand = (
+        assigned.join(F.broadcast(qrow))
+        .where((F.col("cell") == F.col("qcell")) & (F.col("vec_id") != query_vec_id))
+        .select("vec_id", "cell", cosine_expr("embedding", "qv").alias("_c"))
+    )
+    from pyspark.sql import Window
+
+    top = cand.orderBy(F.desc("_c"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("_c"), F.asc("vec_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "vec_id",
+        "cell",
+        (F.round("_c", 6) + F.lit(0.0)).alias("cos"),
+    )
+
+
 def ivf_topk(emb: DataFrame, query_vec_id: int, centroid_ids: list[int], k: int = 5) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid (argmax
     cosine over a small data-derived centroid set), search only the query's
