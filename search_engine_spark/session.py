@@ -38,7 +38,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
         # target ~128MB input splits at scale
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode runs every "executor" thread inside the one driver JVM,
+        # so heap must scale with parallelism like per-executor memory does
+        # on a real cluster (2g/core, capped): a fixed small heap makes
+        # local[32] slower than local[8] at big inputs from eviction/GC
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", f"{min(2 * int(cpus), 64)}g"),
+        )
     )
     if master:
         builder = builder.master(master)
