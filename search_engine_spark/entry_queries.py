@@ -399,6 +399,30 @@ SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b, round(c, 6) + 0.0 AS cos
 FROM p WHERE c >= 0.45"""
 
 
+def _q_embedding_neardup_lsh(spark, sf_dir):
+    # scale path for dd_embedding_neardup: bucket first, verify in-bucket
+    return DD.embedding_neardup_lsh_pairs(
+        embeddings(spark, sf_dir), plane_ids=[1, 2, 3], threshold=0.4
+    )
+
+
+SQL_EMB_NEARDUP_LSH = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+pl AS (SELECT list(v ORDER BY vec_id) AS planes FROM e WHERE vec_id IN (1, 2, 3)),
+b AS (SELECT vec_id, v,
+        (CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * planes[1][i])) >= 0 THEN 1 ELSE 0 END
+       + CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * planes[2][i])) >= 0 THEN 2 ELSE 0 END
+       + CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * planes[3][i])) >= 0 THEN 4 ELSE 0 END) AS bucket
+      FROM e CROSS JOIN pl),
+n AS (SELECT vec_id, v, bucket, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM b),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
+             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS c
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT vec_a::BIGINT AS vec_a, vec_b::BIGINT AS vec_b, bucket::BIGINT AS bucket,
+       round(c, 6) + 0.0 AS cos
+FROM p WHERE c >= 0.4"""
+
+
 def _q_ann_brute(spark, sf_dir):
     return SIM.brute_force_topk(embeddings(spark, sf_dir), query_vec_id=0, k=10)
 
@@ -1080,6 +1104,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dd_minhash_lsh": (_q_minhash_lsh, SQL_MINHASH_LSH),
     "dd_simhash": (_q_simhash, _sql_simhash()),
     "dd_embedding_neardup": (_q_embedding_neardup, SQL_EMB_NEARDUP),
+    "dd_embedding_neardup_lsh": (_q_embedding_neardup_lsh, SQL_EMB_NEARDUP_LSH),
     # --- similarity search ---
     "sim_ann_brute": (_q_ann_brute, SQL_ANN_BRUTE),
     "sim_ann_lsh": (_q_ann_lsh, SQL_ANN_LSH),

@@ -260,6 +260,44 @@ def simhash16(docs: DataFrame) -> DataFrame:
     return votes.select("doc_id", bits.cast("long").alias("simhash"))
 
 
+def embedding_neardup_lsh_pairs(
+    emb: DataFrame, plane_ids: list[int], threshold: float = 0.45
+) -> DataFrame:
+    """LSH-bucketed near-dup pairs: the SCALE path for embedding dedup.
+
+    Vectors are sign-LSH bucketed (planes = stored vectors, data-derived
+    and engine-portable); the quadratic cosine verify runs only WITHIN a
+    bucket — expected bucket size n/2^planes, so cost is sum of bucket^2,
+    never corpus^2. Recall trade-off: a near-dup pair split by a plane is
+    missed (standard banding economics; add plane sets to union recall).
+    (vec_a, vec_b, bucket, cos)
+    """
+    from .similarity import cosine_expr, lsh_bucket_expr
+
+    sel = emb
+    for p, pid in enumerate(plane_ids):
+        pv = emb.where(F.col("vec_id") == pid).select(F.col("embedding").alias(f"_plane{p}"))
+        sel = sel.crossJoin(F.broadcast(pv))
+    bucketed = sel.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "embedding",
+        lsh_bucket_expr("embedding", plane_ids).cast("long").alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("_c", cosine_expr("ea", "eb"))
+        .where(F.col("_c") >= threshold)
+        .select("vec_a", "vec_b", "bucket", (F.round("_c", 6) + F.lit(0.0)).alias("cos"))
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     """Brute-force cosine near-duplicate pairs over an embedding column.
 
