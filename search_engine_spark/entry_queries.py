@@ -996,6 +996,35 @@ SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS win_start_us,
 FROM events GROUP BY 1, 2, 3"""
 
 
+def _q_window_sliding(spark, sf_dir):
+    """Sliding-window variant (1 hour window / 30 minute slide): each event
+    lands in two overlapping windows — the oracle reproduces that with an
+    explicit two-offset fan-out."""
+    from .streaming.ingest import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = windowed_event_counts(ev, window="1 hour", slide="30 minutes")
+    return w.select(
+        F.unix_micros("window_start").alias("win_start_us"),
+        F.unix_micros("window_end").alias("win_end_us"),
+        "event_type",
+        F.col("n_events").cast("long"),
+        (F.round("sum_value", 4) + F.lit(0.0)).alias("sum_value_r"),
+    )
+
+
+SQL_WINDOW_SLIDING = """
+WITH f AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - k * INTERVAL 30 MINUTE AS ws,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) t)
+SELECT epoch_us(ws)::BIGINT AS win_start_us,
+       epoch_us(ws + INTERVAL 1 HOUR)::BIGINT AS win_end_us,
+       event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) + 0.0 AS sum_value_r
+FROM f GROUP BY 1, 2, 3"""
+
+
 def _q_ann_ivf_kmeans(spark, sf_dir):
     """IVF with TRAINED centroids: deterministic Lloyd's k-means (init =
     4 lowest vec_ids, 2 fixed iterations, cosine assignment, lowest-index
@@ -1127,6 +1156,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # --- streaming operators (batch twins of streaming/ingest.py) ---
     "st_sessions": (_q_sessions, SQL_SESSIONS),
     "st_window_counts": (_q_window_counts, SQL_WINDOW_COUNTS),
+    "st_window_sliding": (_q_window_sliding, SQL_WINDOW_SLIDING),
     # --- relational coverage (joins/aggs/windows on the star schema) ---
     "rel_pricing_summary": (_q_rel_pricing, SQL_REL_PRICING),
     "rel_top_customers": (_q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
