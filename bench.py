@@ -132,6 +132,14 @@ def _run_workload(cpus: int, sf_dir: str, n_docs: int) -> dict:
     corpus = synth_corpus(spark, n_docs, n_parts=max(4 * cpus, n_docs // 2500))
     corpus = corpus.persist()
     corpus.count()  # materialize input so we time the build, not generation
+    # steady-state measurement: one small build first warms codegen/JIT,
+    # python workers, and the shuffle/write paths (a cold first stage at
+    # high parallelism measures JVM warm-up, not the plan)
+    warm = build_index(spark, synth_corpus(spark, 5000, n_parts=cpus))
+    warm.blocks.write.mode("overwrite").parquet("/tmp/bench_idx/warmup")
+    spark.catalog.clearCache()
+    corpus = corpus.persist()
+    corpus.count()
     t0 = time.time()
     idx = build_index(spark, corpus)
     idx.blocks.write.mode("overwrite").parquet("/tmp/bench_idx/blocks")

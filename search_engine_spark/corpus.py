@@ -136,3 +136,33 @@ def from_testdata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
+
+
+def read_json_corpus(spark: SparkSession, path: str, multiline: bool = True) -> DataFrame:
+    """Read a reference-style JSON corpus directory into the canonical shape.
+
+    The reference indexer walks a directory tree of one-JSON-object-per-file
+    documents and extracts ``url``/``text`` (indexer/run/indexer.c:103-213,
+    indexer/index.c:198-213 get_json_val); files above 16 MB are skipped
+    (MAX_CORPUS_FILE_SZ). Spark twin: a recursive multiLine JSON scan with
+    an explicit schema (no sampling pass), projected to the canonical
+    corpus columns — extra fields are pruned at the scan.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("url", StringType()), StructField("text", StringType())]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("multiLine", str(multiline).lower())
+        .option("recursiveFileLookup", "true")
+        .json(path)
+    )
+    return raw.where(F.col("url").isNotNull() & F.col("text").isNotNull()).select(
+        "url",
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit(None).cast("string").alias("lang"),
+    )

@@ -46,6 +46,12 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_DRIVER_MEMORY", f"{min(2 * int(cpus), 64)}g"),
         )
+        # pin the initial heap: growing a multi-GB heap mid-build costs a
+        # burst of full GCs exactly while 32 tasks are allocating
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", f"{min(2 * int(cpus), 64)}g"),
+        )
     )
     if master:
         builder = builder.master(master)

@@ -103,3 +103,48 @@ def test_salted_term_stats_equals_plain(spark, corpus200, index200):
             ncap_diff += 1
             assert t == "waaaa"
     assert ncap_diff <= 1
+
+
+def test_read_json_corpus_roundtrip(spark, tmp_path):
+    """Reference-style JSON corpus dir (one object per file, nested tree)
+    reads into the canonical shape and builds a searchable index."""
+    import json
+
+    from search_engine_spark.corpus import read_json_corpus
+    from search_engine_spark.plans.build import build_index
+    from search_engine_spark.plans.query import search
+
+    sub = tmp_path / "a" / "b"
+    sub.mkdir(parents=True)
+    docs = [
+        ("https://x.org/1", "alpha beta gamma"),
+        ("https://x.org/2", "beta delta"),
+        ("https://x.org/3", "alpha alpha beta"),
+    ]
+    for i, (url, text) in enumerate(docs):
+        d = sub if i % 2 else tmp_path
+        (d / f"doc{i}.json").write_text(json.dumps({"url": url, "text": text, "extra": 1}))
+    corpus = read_json_corpus(spark, str(tmp_path))
+    assert corpus.count() == 3
+    assert set(corpus.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    idx = build_index(spark, corpus)
+    hits = search(spark, idx, "alpha beta").collect()
+    assert len(hits) == 3 and hits[0]["n_matched_terms"] == 2
+
+
+def test_loaded_blocks_term_filter_pushdown(spark, index200, tmp_path):
+    """Plan hygiene: a term filter on the SAVED index reaches the parquet
+    scan as a pushed filter (the dictionary-seek analogue — cold serving
+    reads only the query terms' row groups, not the whole posting store)."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.plans.build import load_index, save_index
+
+    path = str(tmp_path / "idx")
+    save_index(index200, path)
+    loaded = load_index(spark, path)
+    plan = (
+        loaded.blocks.filter(F.col("term") == "wabcd")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "EqualTo(term,wabcd)" in plan, plan
