@@ -581,6 +581,27 @@ SELECT doc_id, kind, n_bytes,
 FROM h"""
 
 
+def _q_frame_sample(spark, sf_dir):
+    """One-to-many media expansion: 4 evenly-spaced fake 'frames' per
+    payload through the Arrow-batched sampler (real plumbing, stub decode)."""
+    docs = documents(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    media = MM.media_frame(docs, payload_col="payload", kind="video")
+    return MM.sample_frames(media, n_frames=4)
+
+
+# ascii corpus => text chars == payload bytes, so the oracle windows with
+# substr; stride floors like the python slicing
+SQL_FRAME_SAMPLE = """
+WITH b AS (SELECT doc_id::BIGINT AS doc_id, text,
+                  octet_length(encode(text))::BIGINT AS L FROM documents),
+f AS (SELECT doc_id, k::BIGINT AS frame_no, (k * greatest(L // 4, 1))::BIGINT AS frame_off, L, text
+      FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) t)
+SELECT doc_id, frame_no, frame_off, md5(substr(text, frame_off + 1, 16)) AS frame_md5
+FROM f WHERE frame_off < L"""
+
+
 def _q_snippet(spark, sf_dir):
     """Q17 snippet rendering over the rounded-rank top-20 of the or2 query.
 
@@ -1147,6 +1168,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     # --- multimodal plumbing ---
     "mm_media_meta": (_q_media_meta, SQL_MEDIA_META),
     "mm_features_stub": (_q_media_features, _sql_media_features()),
+    "mm_frame_sample": (_q_frame_sample, SQL_FRAME_SAMPLE),
     # --- math engine (Q19-Q21 / I6 / I17) ---
     "mx_subpaths": (_q_mx_subpaths, SQL_MX_SUBPATHS),
     "mx_expr_match": (_mx_match_query("a+\\frac{2}{a}"), SQL_MX_MATCH_T0),

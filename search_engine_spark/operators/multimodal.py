@@ -60,6 +60,51 @@ def media_frame(docs: DataFrame, payload_col: str = "html", kind: str = "html") 
     )
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_no", LongType(), False),
+        StructField("frame_off", LongType(), False),
+        StructField("frame_md5", StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, decode_stub: bool = True) -> DataFrame:
+    """Frame sampling for video payloads — the ONE-TO-MANY media shape
+    (each payload row expands to up to ``n_frames`` frame rows inside one
+    Arrow batch; no per-row Python, no shuffle).
+
+    STUB decode: a 'frame' is a 16-byte window at ``k * stride`` (stride =
+    len/n_frames), fingerprinted with md5 — deterministic plumbing standing
+    in for ffmpeg keyframe extraction; ``decode_stub=False`` raises where
+    the real decoder would go.
+    """
+    import pandas as pd  # noqa: F811 (module-level import exists)
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if not decode_stub:
+                raise NotImplementedError("real frame decode requires ffmpeg — not in this container")
+            rows = {"doc_id": [], "frame_no": [], "frame_off": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload or b"")
+                stride = max(len(buf) // n_frames, 1)
+                for k in range(n_frames):
+                    off = k * stride
+                    if off >= len(buf):
+                        break
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(k)
+                    rows["frame_off"].append(off)
+                    rows["frame_md5"].append(hashlib.md5(buf[off : off + 16]).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(frames, FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame, dim: int = 8, decode_stub: bool = True) -> DataFrame:
     """Decode + featurize binary payloads via Arrow-batched mapInPandas.
 
