@@ -523,6 +523,26 @@ SELECT doc_id::BIGINT AS doc_id,
 FROM arr"""
 
 
+def _q_bigram_lm(spark, sf_dir):
+    return TX.bigram_lm_score(documents(spark, sf_dir))
+
+
+SQL_BIGRAM_LM = """
+WITH arr AS (SELECT doc_id, list_transform(regexp_extract_all(text, '[a-zA-Z]+'), x -> lower(x)) AS t
+             FROM documents),
+bi AS (SELECT doc_id, u.w1, u.w2 FROM (
+         SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> struct_pack(w1 := t[i], w2 := t[i+1]))
+                  ELSE [] END) AS u
+         FROM arr)),
+c12 AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*)::DOUBLE AS c1 FROM bi GROUP BY 1)
+SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln(c12 / c1)), 6) + 0.0 AS avg_logp_r
+FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id"""
+
+
 def _q_media_meta(spark, sf_dir):
     docs = documents(spark, sf_dir).select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
@@ -1165,6 +1185,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tx_quality": (_q_quality, SQL_QUALITY),
     "tx_token_count": (_q_token_count, SQL_TOKEN_COUNT),
     "tx_fingerprint": (_q_fingerprint, SQL_FINGERPRINT),
+    "tx_bigram_lm": (_q_bigram_lm, SQL_BIGRAM_LM),
     # --- multimodal plumbing ---
     "mm_media_meta": (_q_media_meta, SQL_MEDIA_META),
     "mm_features_stub": (_q_media_features, _sql_media_features()),

@@ -121,3 +121,42 @@ def title_extract(docs: DataFrame) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.substring_index("text", "\n\n", 1).alias("title"),
     )
+
+
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """Corpus-trained bigram LM quality score: per-doc mean log-probability
+    of its bigrams under the corpus MLE model ln(c(w1,w2) / c(w1·)).
+
+    The classic cheap LM filter in web-scale training-data pipelines
+    (gibberish and boilerplate score low). Two aggregations train the
+    model (bigram counts, unigram-context counts — both combinable and
+    skew-tolerant), then a broadcast-free join scores every doc. Pure JVM
+    expressions; counts are exact so the score is engine-portable.
+
+    (doc_id, n_bigrams, avg_logp_r)
+    """
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(f"transform({TOKS}, x -> lower(x))").alias("_t"),
+    )
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_t) >= 2 THEN "
+                "transform(sequence(1, size(_t) - 1), i -> struct(_t[i-1] as w1, _t[i] as w2)) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .select("doc_id", (F.log(F.col("c12") / F.col("c1"))).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.round(F.avg("lp"), 6) + F.lit(0.0)).alias("avg_logp_r"),
+    )
