@@ -6,9 +6,11 @@ TakeOrderedAndProject) on /root/testdata/sf0.001.
 
 ``queries()`` / ``oracle_sql()`` expose every implemented operator from
 SURVEY.md §2 plus the training-data-pipeline suite; pairs are column-name
-and type aligned for the driver's DuckDB value-hash compare. Entries
-without oracle SQL (pandas-UDF rendering, stubbed media decode) get the
-weaker rows-only check by design.
+and type aligned for the driver's DuckDB value-hash compare. As of round 2
+EVERY registry entry carries an oracle — including the math engine (the
+mx_* queries run the real TeX parser / subpath join / MNC scorer over a
+deterministic template corpus whose expected output is closed-form in SQL),
+snippet window bounds, the media stubs, and the streaming batch twins.
 """
 
 from __future__ import annotations

@@ -314,7 +314,8 @@ def _bench_md(report: dict, results: dict) -> str:
         f"| query QPS | {report['query_qps']['local8']} | {report['query_qps']['local32']} | "
         f"{report['query_qps']['efficiency']} |",
         "",
-        "## Per-phase build profile (seconds)",
+        "## Per-phase build profile (seconds, single run — phase-level",
+        "## numbers carry the full co-tenant noise; see interpretation)",
         "",
         "| phase | local[8] | local[32] | speedup |",
         "|---|---|---|---|",
