@@ -1066,6 +1066,38 @@ SELECT epoch_us(ws)::BIGINT AS win_start_us,
 FROM f GROUP BY 1, 2, 3"""
 
 
+def _q_rel_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5-shaped multi-join: orders -> customer -> nation -> region,
+    dimension chain broadcast (nation/region are tiny everywhere; customer
+    is broadcastable at test scale — at 100 TB the customer join shuffles
+    on the key while the dim chain stays broadcast)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        o.join(dim, o.o_custkey == dim.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("r_name", "n_name", "revenue", F.col("n_orders").cast("long"))
+    )
+
+
+SQL_REL_REVENUE_BY_NATION = """
+SELECT r_name, n_name, round(sum(o_totalprice), 2) + 0.0 AS revenue,
+       count(*)::BIGINT AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+     JOIN nation ON c_nationkey = n_nationkey
+     JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name"""
+
+
 def _q_ann_ivf_kmeans(spark, sf_dir):
     """IVF with TRAINED centroids: deterministic Lloyd's k-means (init =
     4 lowest vec_ids, 2 fixed iterations, cosine assignment, lowest-index
@@ -1205,4 +1237,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rel_top_customers": (_q_rel_top_customers, SQL_REL_TOP_CUSTOMERS),
     "rel_events_topn_per_user": (_q_rel_events_topn, SQL_REL_EVENTS_TOPN),
     "rel_rollup": (_q_rel_rollup, SQL_REL_ROLLUP),
+    "rel_revenue_by_nation": (_q_rel_revenue_by_nation, SQL_REL_REVENUE_BY_NATION),
 }

@@ -169,8 +169,13 @@ class _Parser:
         return Node("times", children=factors)
 
     def _starts_factor(self, t: str) -> bool:
-        if t in ("(", "{", "[", "|"):
-            return t != "["  # brackets after commands handled elsewhere
+        if t in ("(", "{"):
+            return True
+        if t in ("[", "|"):
+            # '[' starts command options, '|' is open/close-ambiguous: were
+            # it a factor-starter, the CLOSING bar of |x| would open a new
+            # absolute value and swallow the rest of the input
+            return False
         if re.fullmatch(r"[0-9]+(?:\.[0-9]+)?|[a-zA-Z]", t):
             return True
         if t.startswith("\\"):
@@ -234,9 +239,15 @@ class _Parser:
         if t.startswith("\\"):
             name = t[1:]
             if name in _IGNORED_CMDS:
-                if name in ("left", "right") and self.peek() == ".":
-                    self.next()  # \left. / \right. invisible delimiter
                 return self.parse_base()
+            if name == "labs":  # \left| ... \right|  (preprocessed)
+                inner = self.parse_rel()
+                if self.peek() == "\\rabs":
+                    self.next()
+                return Node("fun", children=[Node("var", sym="fun:abs"), inner])
+            if name == "rabs":
+                # dangling \right| = evaluation bar; scripts attach normally
+                return Node("var", sym="evalbar")
             if name in _GREEK:
                 return Node("var", sym=name)
             if name == "qvar":
@@ -338,9 +349,35 @@ class _Parser:
         return Node("mat", children=rows)
 
 
+def _preprocess(toks: list[str]) -> list[str]:
+    """Resolve \\left/\\right pairs at the token level (grammar.y's
+    _L_*/_R_* bracket tokens): invisible '.' delimiters vanish, '|'
+    delimiters become distinct abs-open/abs-close markers (so
+    \\left| x \\right| is abs and a dangling \\right| is an evaluation
+    bar), any other delimiter keeps its normal meaning."""
+    out: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t in ("\\left", "\\right"):
+            nxt = toks[i + 1] if i + 1 < len(toks) else None
+            if nxt == ".":
+                i += 2
+                continue
+            if nxt == "|":
+                out.append("\\labs" if t == "\\left" else "\\rabs")
+                i += 2
+                continue
+            i += 1
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def tex_parse(tex: str) -> Node:
     """Parse a TeX snippet into an operator tree. Raises TexParseError."""
-    toks = [t for t in _TOKEN_RE.findall(tex) if t.strip()]
+    toks = _preprocess([t for t in _TOKEN_RE.findall(tex) if t.strip()])
     if not toks:
         raise TexParseError("empty expression")
     p = _Parser(toks)

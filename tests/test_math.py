@@ -192,3 +192,15 @@ def test_parser_fuzz_never_raises():
         assert len(out) <= 2 * MAX_SUBPATHS
 
     run()
+
+
+def test_abs_and_eval_bars():
+    """\\left/\\right delimiter resolution (grammar.y _L_*/_R_* tokens):
+    invisible dots vanish, |..| is absolute value whether bare or
+    \\left|..\\right|, and a dangling \\right| (evaluation bar) parses."""
+    from search_engine_spark.math.texparse import tex_subpaths as sp
+
+    assert sp("|x|") == sp("\\left| x \\right|") != []
+    assert sp("\\left( a+b \\right)") == sp("a+b")
+    assert sp("\\left. \\frac{df}{dx} \\right|_{x=0}")  # no parse-skip
+    assert sp("|a+b| = c")
