@@ -88,29 +88,64 @@ class _Parser:
         self.i += 1
         return t
 
-    # rel := expr (REL expr)*
+    # rel := expr ((REL | decorated-REL) expr)*
     def parse_rel(self) -> Node:
         left = self.parse_expr()
         rels = []
         while True:
             t = self.peek()
             name = None
+            decor = None
             if t in ("=", "<", ">"):
                 name = _RELS[t]
+                self.next()
             elif t and t.startswith("\\") and t[1:] in _RELS:
                 name = _RELS[t[1:]]
+                self.next()
+            elif t in ("\\xrightarrow", "\\xleftarrow"):
+                # X_ARROW (grammar.y): an arrow relation carrying a label
+                self.next()
+                name = "to"
+                if self.peek() == "{":
+                    decor = self.parse_base()
+            elif t in ("\\stackrel", "\\overset", "\\buildrel"):
+                # _STACKREL/_BUILDREL: symbol stacked over a relation; the
+                # relation is usually braced ({=}) — unwrap one level
+                self.next()
+                decor = self.parse_base()
+                nt = self.peek()
+                if nt == "{" and self.i + 1 < len(self.toks):
+                    inner = self.toks[self.i + 1]
+                    if inner in _RELS or (inner.startswith("\\") and inner[1:] in _RELS):
+                        self.next()
+                        nt = self.peek()
+                        self._rel_brace = True
+                if nt in ("=", "<", ">"):
+                    name = _RELS[nt]
+                    self.next()
+                elif nt and nt.startswith("\\") and nt[1:] in _RELS:
+                    name = _RELS[nt[1:]]
+                    self.next()
+                else:
+                    name = "rel"
+                if getattr(self, "_rel_brace", False):
+                    self._rel_brace = False
+                    if self.peek() == "}":
+                        self.next()
             if name is None:
                 break
-            self.next()
             right = self.parse_expr()
-            rels.append((name, right))
+            rels.append((name, right, decor))
         if not rels:
             node = left
         else:
-            # relation chain: unordered rel node over operands + rel-name leaves
+            # relation chain: unordered rel node over operands + rel-name
+            # leaves (+ decoration subtrees for stackrel / labeled arrows)
             children = [left]
-            for name, right in rels:
+            for name, right, decor in rels:
                 children.append(Node("var", sym=f"rel:{name}"))
+                if decor is not None:
+                    children.append(Node("fun", children=[Node("var", sym="fun:relmark"), decor]))
                 children.append(right)
             node = Node("rel", children=children)
         # TeX primitives splitting the enclosing group: {a \over b} == \frac a b,

@@ -204,3 +204,15 @@ def test_abs_and_eval_bars():
     assert sp("\\left( a+b \\right)") == sp("a+b")
     assert sp("\\left. \\frac{df}{dx} \\right|_{x=0}")  # no parse-skip
     assert sp("|a+b| = c")
+
+
+def test_decorated_relations():
+    """X_ARROW / _STACKREL token classes: labeled arrows and stacked
+    relation symbols keep the base relation's paths and add the label."""
+    from search_engine_spark.math.texparse import tex_subpaths as sp
+
+    base_to = {p for p, _ in sp("A \\to B")}
+    base_eq = {p for p, _ in sp("a = b")}
+    assert base_to < {p for p, _ in sp("A \\xrightarrow{f} B")}
+    assert base_eq < {p for p, _ in sp("a \\stackrel{def}{=} b")}
+    assert sp("a \\overset{d}{=} b")
