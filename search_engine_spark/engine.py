@@ -1,0 +1,122 @@
+"""User-facing engine facade — the reference daemon's surface, Spark-backed.
+
+A user of approach0 interacts through two binaries: ``indexer.out`` (build)
+and ``searchd`` (query -> paginated JSON with snippets,
+searchd/utils.c:173-389). This module is that surface over the PySpark
+engine: build/save/load an index, run term / math / mixed queries, and
+render the daemon's response shape
+``{ret_code, ret_str, tot_pages, hits: [{docid, score, title, url,
+snippet}]}`` with 10 hits per page (search/config.h:30) out of the
+155-deep rank set (search/config.h:29). The HTTP listener itself is out of
+dataflow scope — any web framework can wrap ``query_json``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .math.index import build_math_index, build_math_lr_index
+from .math.search import mixed_search, split_query
+from .operators import scoring as S
+from .plans.build import InvertedIndex, build_index, load_index, save_index
+from .plans.query import search
+from .plans.snippet import snippets_for
+
+RES_PER_PAGE = 10  # search/config.h:30 DEFAULT_RES_PER_PAGE
+
+RET_STR = {0: "successful search", 1: "no hit found", 2: "empty query"}
+
+
+@dataclass
+class SearchEngine:
+    spark: SparkSession
+    index: InvertedIndex
+    math_postings: DataFrame | None = None
+    math_lr_postings: DataFrame | None = None
+
+    # ------------------------------------------------------------- build --
+    @classmethod
+    def build(
+        cls, spark: SparkSession, corpus: DataFrame, with_math: bool = False, **kw
+    ) -> "SearchEngine":
+        """Index a corpus ``(url, text, ...)``; with_math also builds the
+        TeX subpath + MNC pathinfo tables from [imath] spans."""
+        idx = build_index(spark, corpus, **kw)
+        mp = lr = None
+        if with_math:
+            docs = idx.docstore.select("doc_id", "text")
+            mp = build_math_index(docs)
+            lr = build_math_lr_index(docs)
+        return cls(spark, idx, mp, lr)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "SearchEngine":
+        import os
+
+        idx = load_index(spark, path)
+        mp = lr = None
+        if os.path.exists(f"{path}/math_postings"):
+            mp = spark.read.parquet(f"{path}/math_postings")
+        if os.path.exists(f"{path}/math_lr"):
+            lr = spark.read.parquet(f"{path}/math_lr")
+        return cls(spark, idx, mp, lr)
+
+    def save(self, path: str) -> None:
+        save_index(self.index, path)
+        if self.math_postings is not None:
+            self.math_postings.write.mode("overwrite").parquet(f"{path}/math_postings")
+        if self.math_lr_postings is not None:
+            self.math_lr_postings.write.mode("overwrite").parquet(f"{path}/math_lr")
+
+    def warm(self, cache_budget_bytes: int | None = None) -> "SearchEngine":
+        """Daemon-start warm-up (indices.c:128-178): budgeted hot-term cache
+        or full persist of the serving tables."""
+        if cache_budget_bytes is None:
+            self.index.cache()
+        else:
+            import dataclasses
+
+            from .plans.cache import build_posting_cache, served_blocks
+
+            cache = build_posting_cache(self.index, cache_budget_bytes)
+            self.index = dataclasses.replace(
+                self.index, doc_blocks=served_blocks(self.index, cache)
+            )
+        return self
+
+    # ------------------------------------------------------------- query --
+    def query(self, qtext: str, mode: str = "or", k: int = S.RANK_K, **kw) -> DataFrame:
+        """Ranked hits; routes mixed term+math queries automatically."""
+        _, texes = split_query(qtext)
+        if texes and self.math_postings is not None:
+            return mixed_search(
+                self.spark, self.index, self.math_postings, qtext, mode=mode, k=k,
+                math_lr_postings=self.math_lr_postings, **kw,
+            )
+        return search(self.spark, self.index, qtext, mode=mode, k=k, **kw)
+
+    def query_json(self, qtext: str, page: int = 1, mode: str = "or") -> dict:
+        """The searchd response shape (searchd/utils.c:173-389): one page of
+        RES_PER_PAGE hits with titles, urls and <em>-highlighted snippets."""
+        terms, texes = split_query(qtext)
+        if not terms and not texes:
+            return {"ret_code": 2, "ret_str": RET_STR[2], "tot_pages": 0, "hits": []}
+        res = self.query(qtext, mode=mode)
+        rows = snippets_for(self.index, res, terms).collect()
+        if not rows:
+            return {"ret_code": 1, "ret_str": RET_STR[1], "tot_pages": 0, "hits": []}
+        tot_pages = (len(rows) + RES_PER_PAGE - 1) // RES_PER_PAGE
+        lo = (page - 1) * RES_PER_PAGE
+        hits = [
+            {
+                "docid": int(r["doc_id"]),
+                "score": round(float(r["score"]), 3),
+                "title": r["title"],
+                "url": r["url"],
+                "snippet": r["snippet"],
+            }
+            for r in rows[lo : lo + RES_PER_PAGE]
+        ]
+        return {"ret_code": 0, "ret_str": RET_STR[0], "tot_pages": tot_pages, "hits": hits}

@@ -1,0 +1,48 @@
+"""SearchEngine facade: the reference daemon surface end to end
+(build -> save -> load -> warm -> paginated JSON with snippets; mixed
+term+math routing)."""
+
+from __future__ import annotations
+
+from search_engine_spark.corpus import vocab_word as W
+from search_engine_spark.engine import RES_PER_PAGE, SearchEngine
+
+
+def test_engine_json_surface(spark, index200, tmp_path):
+    eng = SearchEngine(spark, index200)
+    q = f"{W(1)} {W(2)}"
+    resp = eng.query_json(q, page=1)
+    assert resp["ret_code"] == 0 and resp["tot_pages"] >= 1
+    assert len(resp["hits"]) <= RES_PER_PAGE
+    top = resp["hits"][0]
+    assert set(top) == {"docid", "score", "title", "url", "snippet"}
+    assert '<em class="hl">' in top["snippet"]
+    # page 2 disjoint from page 1
+    resp2 = eng.query_json(q, page=2)
+    assert {h["docid"] for h in resp2["hits"]}.isdisjoint({h["docid"] for h in resp["hits"]})
+    # daemon error codes
+    assert eng.query_json("")["ret_code"] == 2
+    assert eng.query_json("zzzqqqmissing")["ret_code"] == 1
+
+
+def test_engine_build_save_load_math(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "https://m/1", "energy relation [imath]E=mc^2[/imath] here"),
+            (2, "https://m/2", "another [imath]E=mc^3[/imath] formula energy"),
+            (3, "https://m/3", "plain words only energy"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    eng = SearchEngine.build(spark, docs, with_math=True, id_col="doc_id")
+    path = str(tmp_path / "idx")
+    eng.save(path)
+    eng2 = SearchEngine.load(spark, path).warm()
+    # NB: query with the RARE term 'relation' — 'energy' appears in every
+    # doc, its idf (unfloored, reference quirk) is negative, bm25 < 0, and
+    # the (1+max_math)/2 factor then RANKS EXACT MATH MATCHES LOWER — the
+    # reference formula does exactly that (search/search.c:253-274)
+    hits = eng2.query("relation [imath]E=mc^2[/imath]").collect()
+    assert hits[0]["doc_id"] == 1  # term + exact math match outranks
+    assert hits[0]["max_math"] == 1.0
+    assert {r["doc_id"] for r in hits} >= {1, 2}
