@@ -221,6 +221,10 @@ class _Parser:
                 or name in _BIGOPS
                 or name in _ACCENTS
                 or name in ("frac", "sqrt", "qvar", "binom", "begin")
+                # '\labs' (preprocessed \left|) is unambiguous — always an
+                # opener — so 2\left|x\right| parses as juxtaposition
+                # (multiplication), unlike bare '|' which stays excluded
+                or name == "labs"
                 or name in _IGNORED_CMDS
             )
         return False

@@ -157,7 +157,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     bands: int = 4,
     verify_threshold: float | None = None,
-    max_bucket: int | None = 64,
+    max_bucket: int | None = None,
     log_drops: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band key (band = md5 of its
@@ -173,8 +173,11 @@ def minhash_lsh_pairs(
     - ``max_bucket``: buckets larger than the cap are dropped from
       candidate generation entirely (recall-only trade-off; members of a
       giant bucket are near-identical to many docs and surface through
-      their other bands or exact dedup). ``log_drops=True`` counts and
-      logs the dropped buckets (one extra aggregate job).
+      their other bands or exact dedup). OPT-IN (default None = exhaustive
+      banding, the recall-preserving default); pass a cap — the registry
+      and bench use 64 — for web-scale corpora where one degenerate bucket
+      is a quadratic blow-up. ``log_drops=True`` counts and logs the
+      dropped buckets (one extra aggregate job).
     - singleton buckets are filtered before the join (they cannot pair).
     """
     assert n_hashes % bands == 0

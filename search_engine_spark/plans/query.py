@@ -11,26 +11,14 @@ TakeOrderedAndProject (per-partition heaps + driver merge — the reference's
 minheap, distributed for free).
 
 Block-max WAND (north rule; reference skip lists mem-index/skippy.h +
-score-threshold pruning search/search-utils.c:322-335) is re-expressed
-set-oriented and upper-bound-safe:
-
-  phase 0  block metadata (term, first_doc_id, last_doc_id, block_max_tfn)
-           for the query terms only — never decodes payloads;
-  phase 1  exact-score the doc range of the single highest-upper-bound
-           block => threshold T = kth best total (a valid lower bound on
-           the final kth score);
-  phase 2  sweep the block boundaries into elementary doc_id intervals;
-           an interval whose summed per-term covering upper bounds
-           (+ proximity max ln(1.3) + 10000*n_terms match-dim bonus +
-           0.5*(1+...) factor) stays below T cannot contain a top-k doc —
-           prune it; decode only blocks intersecting surviving intervals,
-           score exactly, filter to surviving intervals.
-
-Pruned-vs-full equality is asserted in tests (prune safety). The sweep runs
-on collected block *metadata* (a few thousand rows per query term at test
-scale; at 10^12 docs this is the one place a driver-side cap applies — the
-engine falls back to unpruned scoring above ``meta_cap`` rows, documented
-trade-off).
+score-threshold pruning search/search-utils.c:322-335) runs INSIDE the
+doc-sharded serving kernel (plans/serve.py): each shard seeds its own
+threshold from its densest block, sweeps its block metadata into elementary
+doc intervals, and never varbyte-decodes a block that provably cannot hold
+a local top-k doc — zero driver round-trips. Pruned-vs-full equality is
+asserted in tests/test_wand.py. (An earlier driver-side metadata sweep with
+``toPandas()`` round-trips was retired: with the doc-sharded layout the
+in-kernel sweep strictly dominates — same pruning decision, no collect.)
 """
 
 from __future__ import annotations
@@ -88,25 +76,6 @@ class QueryResult:
     df: DataFrame
     n_terms: int
     idfs: dict[str, float]
-
-
-def _query_terms_with_idf(index: InvertedIndex, terms: list[str]) -> dict[str, float]:
-    """Resolve df for each keyword (reference Q3/Q5) -> idf map (driver side).
-
-    Only the WAND path needs idfs on the driver (for the metadata sweep);
-    the normal path computes idf inside the plan (_qterms_idf_df) to avoid
-    an extra blocking job per query.
-
-    Absent terms get no posting rows; in AND mode the count predicate then
-    yields the empty set (postmerge.c:228-236 NULL posting semantics).
-    """
-    stats = (
-        index.term_stats.filter(F.col("term").isin(terms))
-        .select("term", "df")
-        .collect()
-    )
-    dfmap = {r["term"]: r["df"] for r in stats}
-    return {t: S.idf(float(dfmap.get(t, 0)), float(index.docN)) for t in terms}
 
 
 def _qterms_idf_df(
@@ -314,7 +283,6 @@ def search(
     use_blocks: bool = True,
     with_prox: bool = True,
     wand: bool = False,
-    meta_cap: int = 2_000_000,
     serving: str = "auto",
 ) -> DataFrame:
     """Full query: digest -> candidates -> score -> top-k.
@@ -324,7 +292,9 @@ def search(
 
     ``serving``: "shard" = doc-sharded per-partition DAAT kernel (zero
     shuffle, plans/serve.py); "shuffle" = set-oriented join+aggregate plan;
-    "auto" = shard when the index carries doc-sharded blocks and no WAND.
+    "auto" = shard when the index carries doc-sharded blocks.
+    ``wand``: in-kernel block-max pruning on the shard path (ignored on the
+    shuffle path, whose hash aggregate has no per-doc-range skip to feed).
     """
     terms = digest_query(qtext)
     if not terms:
@@ -338,20 +308,11 @@ def search(
         from .serve import resolve_keywords, shard_search
 
         # wand=True turns on in-kernel block-max pruning (each shard seeds
-        # its own threshold; zero extra driver round-trips). The driver-side
-        # metadata sweep below remains only for the shuffle serving path.
+        # its own threshold; zero extra driver round-trips)
         kws = resolve_keywords(spark, index, {"q": (qtext, mode)})
         return shard_search(
             spark, index, kws, k=k, with_prox=with_prox, prune=wand
         ).select("doc_id", "bm25", "match_dim", "n_matched_terms", "prox", "score")
-
-    if wand and use_blocks:
-        idfs = _query_terms_with_idf(index, terms)
-        pruned = _wand_prune(spark, index, terms, idfs, mode, with_prox, k, meta_cap)
-        if pruned is not None:
-            return top_k(pruned, k).select(
-                "doc_id", "bm25", "match_dim", "n_matched_terms", "prox", "score"
-            )
 
     kw = _qterms_idf_df(spark, index, [("q", i, t) for i, t in enumerate(terms)])
     return _scored_topk_pruned(
@@ -413,126 +374,3 @@ def search_many(
     )
 
 
-# ---------------------------------------------------------------- WAND ----
-
-
-def _interval_sweep(meta: pd.DataFrame, idfs: dict[str, float], n_terms: int, thresh: float):
-    """Elementary-interval upper-bound sweep over block metadata.
-
-    Returns surviving [start, end] doc_id intervals (inclusive). An interval
-    survives iff ln(1.3) + 0.5*(1 + sum_t max(ub_t, 0)) + 10000*n_terms >= T
-    where ub_t is the max covering-block upper bound of term t there.
-    """
-    pts = np.unique(np.r_[meta["first_doc_id"].to_numpy(), meta["last_doc_id"].to_numpy() + 1])
-    if len(pts) < 2:
-        return [(int(meta["first_doc_id"].min()), int(meta["last_doc_id"].max()))]
-    starts = pts[:-1]
-    total_ub = np.zeros(len(starts), dtype=np.float64)
-    for term, grp in meta.groupby("term"):
-        idf = idfs[term]
-        ub = np.zeros(len(starts), dtype=np.float64)
-        f = grp["first_doc_id"].to_numpy()
-        l = grp["last_doc_id"].to_numpy()
-        u = np.maximum(grp["block_max_tfn"].to_numpy() * idf, 0.0)
-        # for each elementary interval, max ub among covering blocks
-        for bf, bl, bu in zip(f, l, u):
-            lo = np.searchsorted(starts, bf, "left")
-            hi = np.searchsorted(starts, bl, "right")
-            np.maximum(ub[lo:hi], bu, out=ub[lo:hi])
-        total_ub += ub
-    bound = math.log(1.3) + 0.5 * (1.0 + total_ub) + S.MATCH_DIM_WEIGHT * n_terms
-    keep = bound >= thresh
-    out = []
-    for i in np.flatnonzero(keep):
-        out.append((int(starts[i]), int(pts[i + 1] - 1)))
-    return out
-
-
-def _merge_intervals(intervals: list[tuple[int, int]], max_intervals: int) -> list:
-    """Coalesce surviving intervals down to a bounded count by closing the
-    smallest gaps. Enlarging intervals only ADDS candidate docs, so pruning
-    stays upper-bound-safe; the cap keeps the pushdown predicate (an OR
-    chain over ranges) small enough for fast plan compilation."""
-    if len(intervals) <= max_intervals:
-        return intervals
-    ivs = sorted(intervals)
-    gaps = sorted(
-        range(1, len(ivs)), key=lambda i: ivs[i][0] - ivs[i - 1][1], reverse=True
-    )[: max_intervals - 1]
-    keep_breaks = sorted(gaps)
-    out = []
-    start = ivs[0][0]
-    prev_end = ivs[0][1]
-    for i in range(1, len(ivs)):
-        if i in keep_breaks:
-            out.append((start, prev_end))
-            start = ivs[i][0]
-            prev_end = ivs[i][1]
-        else:
-            prev_end = max(prev_end, ivs[i][1])
-    out.append((start, prev_end))
-    return out
-
-
-def _wand_prune(
-    spark: SparkSession,
-    index: InvertedIndex,
-    terms: list[str],
-    idfs: dict[str, float],
-    mode: str,
-    with_prox: bool,
-    k: int,
-    meta_cap: int,
-) -> DataFrame | None:
-    """Two-phase block-max pruning; returns scored survivors or None (fallback)."""
-    meta_df = index.blocks.filter(F.col("term").isin(terms)).select(
-        "term", "first_doc_id", "last_doc_id", "block_max_tfn"
-    )
-    if meta_df.limit(meta_cap + 1).count() > meta_cap:
-        return None
-    meta = meta_df.toPandas()
-    if meta.empty:
-        return None
-    kw = spark.createDataFrame(
-        [("q", i, t, float(idfs[t])) for i, t in enumerate(terms)],
-        "qid string, kw_idx int, term string, idf double",
-    )
-    n_by_qid = {"q": len(terms)}
-
-    # phase 1: exact scores over the best block's doc range -> threshold
-    ubs = meta["block_max_tfn"].to_numpy() * meta["term"].map(idfs).to_numpy()
-    best = meta.iloc[int(np.argmax(ubs))]
-    lo, hi = int(best["first_doc_id"]), int(best["last_doc_id"])
-    seed_blocks = index.blocks.filter(
-        F.col("term").isin(terms)
-        & (F.col("first_doc_id") <= hi)
-        & (F.col("last_doc_id") >= lo)
-    )
-    seed_rows = unpack_blocks(seed_blocks, with_positions=with_prox).filter(
-        (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
-    )
-    seed_scores = _score_frame(index, seed_rows, kw, mode, with_prox, n_by_qid)
-    kth = seed_scores.orderBy(F.desc("score")).limit(k).collect()
-    if len(kth) < k:
-        thresh = -math.inf
-    else:
-        thresh = float(kth[-1]["score"])
-
-    intervals = _interval_sweep(meta, idfs, len(terms), thresh)
-    if not intervals:
-        return seed_scores  # everything else provably below threshold
-    intervals = _merge_intervals(intervals, max_intervals=64)
-
-    # phase 2: decode only blocks intersecting surviving intervals
-    cond = None
-    for s, e in intervals:
-        c = (F.col("first_doc_id") <= e) & (F.col("last_doc_id") >= s)
-        cond = c if cond is None else (cond | c)
-    surv_blocks = index.blocks.filter(F.col("term").isin(terms) & cond)
-    rows = unpack_blocks(surv_blocks, with_positions=with_prox)
-    dcond = None
-    for s, e in intervals:
-        c = (F.col("doc_id") >= s) & (F.col("doc_id") <= e)
-        dcond = c if dcond is None else (dcond | c)
-    rows = rows.filter(dcond)
-    return _score_frame(index, rows, kw, mode, with_prox, n_by_qid)

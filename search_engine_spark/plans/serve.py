@@ -193,6 +193,38 @@ def _filter_decoded(decoded: dict, ranges: np.ndarray) -> dict:
     return out
 
 
+def _interval_sweep(meta: pd.DataFrame, idfs: dict[str, float], n_terms: int, thresh: float):
+    """Elementary-interval upper-bound sweep over block metadata.
+
+    Returns surviving [start, end] doc_id intervals (inclusive). An interval
+    survives iff ln(1.3) + 0.5*(1 + sum_t max(ub_t, 0)) + 10000*n_terms >= T
+    where ub_t is the max covering-block upper bound of term t there.
+    """
+    pts = np.unique(np.r_[meta["first_doc_id"].to_numpy(), meta["last_doc_id"].to_numpy() + 1])
+    if len(pts) < 2:
+        return [(int(meta["first_doc_id"].min()), int(meta["last_doc_id"].max()))]
+    starts = pts[:-1]
+    total_ub = np.zeros(len(starts), dtype=np.float64)
+    for term, grp in meta.groupby("term"):
+        idf = idfs[term]
+        ub = np.zeros(len(starts), dtype=np.float64)
+        f = grp["first_doc_id"].to_numpy()
+        l = grp["last_doc_id"].to_numpy()
+        u = np.maximum(grp["block_max_tfn"].to_numpy() * idf, 0.0)
+        # for each elementary interval, max ub among covering blocks
+        for bf, bl, bu in zip(f, l, u):
+            lo = np.searchsorted(starts, bf, "left")
+            hi = np.searchsorted(starts, bl, "right")
+            np.maximum(ub[lo:hi], bu, out=ub[lo:hi])
+        total_ub += ub
+    bound = math.log(1.3) + 0.5 * (1.0 + total_ub) + S.MATCH_DIM_WEIGHT * n_terms
+    keep = bound >= thresh
+    out = []
+    for i in np.flatnonzero(keep):
+        out.append((int(starts[i]), int(pts[i + 1] - 1)))
+    return out
+
+
 def _wand_score_shard(pdfs: list, kws, avgdl: float, k: int, with_prox: bool):
     """Shard-local block-max WAND for one disjunctive query.
 
@@ -213,8 +245,6 @@ def _wand_score_shard(pdfs: list, kws, avgdl: float, k: int, with_prox: bool):
          below T), score exactly, local top-k.
 
     Pruned == full equality is asserted in tests/test_wand.py."""
-    from .query import _interval_sweep
-
     if not pdfs:
         return None
     meta = pd.concat(pdfs, ignore_index=True)

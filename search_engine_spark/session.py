@@ -24,6 +24,26 @@ def get_spark(
     default to ``local[$SPARK_GRAFT_CPUS]``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # driver heap scales with local[] parallelism (2g/core like per-executor
+    # memory on a real cluster) but is capped by the machine's physical RAM:
+    # -Xms==-Xmx on a host with < 2GB/hardware-thread would fail to start
+    # or invite the OOM killer
+    try:
+        with open("/proc/meminfo") as f:
+            mem_kb = int(f.readline().split()[1])
+        mem_cap_gb = max(1, int(mem_kb / 1024 / 1024 * 0.7))
+    except OSError:
+        mem_cap_gb = 64
+    heap = os.environ.get(
+        "SPARK_DRIVER_MEMORY", f"{min(2 * int(cpus), mem_cap_gb, 64)}g"
+    )
+    # pin the initial heap: growing a multi-GB heap mid-build costs a burst
+    # of full GCs exactly while 32 tasks are allocating. User-supplied driver
+    # Java options (extra_conf) are appended, not clobbered.
+    java_opts = f"-Xms{heap}"
+    extra_conf = dict(extra_conf or {})
+    if "spark.driver.extraJavaOptions" in extra_conf:
+        java_opts = java_opts + " " + extra_conf.pop("spark.driver.extraJavaOptions")
     builder = (
         SparkSession.builder.appName(app_name)
         # AQE: runtime coalescing + skew-join splitting on top of our explicit salting
@@ -40,18 +60,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # local mode runs every "executor" thread inside the one driver JVM,
         # so heap must scale with parallelism like per-executor memory does
-        # on a real cluster (2g/core, capped): a fixed small heap makes
-        # local[32] slower than local[8] at big inputs from eviction/GC
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_DRIVER_MEMORY", f"{min(2 * int(cpus), 64)}g"),
-        )
-        # pin the initial heap: growing a multi-GB heap mid-build costs a
-        # burst of full GCs exactly while 32 tasks are allocating
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-Xms" + os.environ.get("SPARK_DRIVER_MEMORY", f"{min(2 * int(cpus), 64)}g"),
-        )
+        # on a real cluster: a fixed small heap makes local[32] slower than
+        # local[8] at big inputs from eviction/GC
+        .config("spark.driver.memory", heap)
+        .config("spark.driver.extraJavaOptions", java_opts)
     )
     if master:
         builder = builder.master(master)

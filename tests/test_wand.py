@@ -7,7 +7,8 @@ from __future__ import annotations
 import pytest
 
 from search_engine_spark.corpus import vocab_word as W
-from search_engine_spark.plans.query import _interval_sweep, search
+from search_engine_spark.plans.query import search
+from search_engine_spark.plans.serve import _interval_sweep
 
 CASES = [
     (f"{W(1)} {W(2)}", "or"),
@@ -53,9 +54,10 @@ def test_wand_actually_prunes(spark, index200):
     assert total >= int(meta["last_doc_id"].max() - meta["first_doc_id"].min())
 
 
-def test_meta_cap_fallback(spark, index200):
-    # a tiny meta_cap forces the unpruned fallback; results must not change
+def test_shard_wand_equals_shuffle_serving(spark, index200):
+    # the pruned shard kernel and the set-oriented shuffle plan must agree
+    # (the shuffle path has no WAND; it is the unpruned cross-check)
     q = f"{W(1)} {W(2)}"
-    a = [(r["doc_id"], round(r["score"], 9)) for r in search(spark, index200, q, wand=True, meta_cap=1).collect()]
-    b = [(r["doc_id"], round(r["score"], 9)) for r in search(spark, index200, q, wand=False).collect()]
+    a = [(r["doc_id"], round(r["score"], 8)) for r in search(spark, index200, q, wand=True).collect()]
+    b = [(r["doc_id"], round(r["score"], 8)) for r in search(spark, index200, q, serving="shuffle").collect()]
     assert a == b
