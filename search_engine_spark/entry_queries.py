@@ -53,12 +53,26 @@ post AS (SELECT term, doc_id, least(count(*), 2048)::BIGINT AS tf
 _INDEX_CACHE: dict = {}
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Re-split a small-file scan across the cluster. The testdata parquet
+    is a single ~600KB file => ONE input split, so every expensive narrow
+    op downstream (shingling, tokenization, TeX parse) would run on one
+    task no matter how many cores exist. At real scale the scan has many
+    splits and this is a no-op-sized shuffle; here it is the difference
+    between 1-way and 32-way parallelism on every documents-derived plan.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"), spark)
 
 
 def embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), spark)
 
 
 def get_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:

@@ -23,6 +23,24 @@ from pyspark.sql import DataFrame, functions as F
 from .textstats import TOKS
 
 
+def _with_cached_inputs(df: DataFrame, handles: list[DataFrame]) -> DataFrame:
+    """Tag a result DataFrame with the persisted frames its plan depends on
+    so long-lived callers (the SearchEngine daemon) can free executor
+    storage once the result is materialized."""
+    df._cached_inputs = list(handles)
+    return df
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist the cached inputs a dedup operator attached to its result.
+
+    Safe on any DataFrame (no-op without the tag). Call AFTER the result is
+    fully materialized — the persisted frames back its lazy plan.
+    """
+    for h in getattr(df, "_cached_inputs", []):
+        h.unpersist()
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups by md5(text); keeper = min doc_id.
 
@@ -77,35 +95,45 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_df``: drop shingles whose document frequency exceeds the
     cap from CANDIDATE GENERATION only. Without it, one hot shingle (a
-    stopword trigram at web scale) is a full-corpus bucket and the
-    self-join goes quadratic. The trade-off is recall-only and standard:
+    stopword trigram at web scale) is a full-corpus bucket and pair
+    generation goes quadratic. The trade-off is recall-only and standard:
     a pair sharing exclusively ultra-common shingles is not surfaced
     (its Jaccard is dominated by noise anyway); values of surfaced pairs
     are unaffected because verification uses the full sets.
+
+    Dataflow (one shuffle for candidate generation — NOT a shingle
+    self-join): group each shingle's sorted doc list, keep buckets sized
+    [2, max_shingle_df] (the size predicate IS the df cap — no separate df
+    aggregate or anti-join), explode the in-bucket pair combinations
+    JVM-side. Bucket size is capped, so the per-bucket pair expansion is
+    O(cap^2) and the whole stage is one combinable groupBy — the shape
+    that survives a Zipf shingle distribution at web scale.
+
+    The per-doc shingle-array frame is persisted (it feeds pair generation
+    and both verify sides; self-joins do not CSE); call ``release`` on the
+    returned DataFrame after materializing it to free executor storage in
+    long-lived sessions.
     """
-    # materialize the per-doc shingle arrays once: the frame feeds FIVE plan
-    # branches (df stats, both self-join sides, both verify sides) and the
-    # shingling expression is the single most expensive leaf — without the
-    # persist Spark re-tokenizes the corpus per branch
     based = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.expr(_shingles_expr(k)).alias("_sh"),
     ).persist()
     sh = based.select("doc_id", F.explode("_sh").alias("shingle"))
-    cand_sh = sh
+    buckets = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("_ds")
+    )
+    size_ok = F.size("_ds") >= 2
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > max_shingle_df)
-            .select("shingle")
-        )
-        cand_sh = sh.join(hot, "shingle", "left_anti")
+        size_ok = size_ok & (F.size("_ds") <= max_shingle_df)
+    # sorted doc list -> all (a < b) pairs, JVM-side
+    pair_expr = (
+        "flatten(transform(_ds, (x, i) -> "
+        "transform(slice(_ds, i + 2, size(_ds)), y -> struct(x AS a, y AS b))))"
+    )
     cands = (
-        cand_sh.alias("x")
-        .join(cand_sh.alias("y"), "shingle")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        buckets.where(size_ok)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
     arr_a = based.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
@@ -122,10 +150,11 @@ def ngram_jaccard_pairs(
             ).alias("_j"),
         )
     )
-    return (
+    out = (
         j.where(F.col("_j") >= threshold)
         .select("doc_a", "doc_b", F.round("_j", 6).alias("jaccard"))
     )
+    return _with_cached_inputs(out, [based])
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 8) -> DataFrame:
@@ -219,9 +248,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if verify_threshold is None:
-        return pairs
+        return _with_cached_inputs(pairs, [stacked])
     j = ngram_jaccard_pairs(docs, k, verify_threshold)
-    return pairs.join(j, ["doc_a", "doc_b"])
+    return _with_cached_inputs(
+        pairs.join(j, ["doc_a", "doc_b"]),
+        [stacked, *getattr(j, "_cached_inputs", [])],
+    )
 
 
 _HEXPOS = "'0123456789abcdef'"
