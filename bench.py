@@ -192,6 +192,9 @@ def _run_workload(cpus: int, sf_dir: str, n_docs: int) -> dict:
     qps_s = time.time() - t0
     out["query_qps"] = round(len(workload) / qps_s, 2)
     t0 = time.time()
+    search_many(spark, idx, workload, prune=True).collect()  # batch WAND
+    out["query_qps_wand"] = round(len(workload) / (time.time() - t0), 2)
+    t0 = time.time()
     search(spark, idx, base[0][0]).collect()  # single-query latency
     out["query_latency_sec"] = round(time.time() - t0, 3)
     corpus.unpersist()
@@ -319,6 +322,7 @@ def main() -> None:
         "queries": out["queries"],
         "sf": sf,
         "query_qps": out["query_qps"],
+        "query_qps_wand": out.get("query_qps_wand"),
         "index_build_sec": out["index_build_sec"],
         "n_docs": out["n_docs"],
         "cpus": out["cpus"],

@@ -330,11 +330,16 @@ def search_many(
     use_blocks: bool = True,
     with_prox: bool = True,
     serving: str = "auto",
+    prune: bool = False,
 ) -> DataFrame:
     """Batch query execution: score N queries in ONE plan.
 
     ``queries``: qid -> (qtext, mode). Returns
     (qid, rank, doc_id, bm25, match_dim, n_matched_terms, prox, score).
+
+    ``prune=True`` (shard serving only): batch block-max WAND — one
+    in-kernel sweep with per-qid thresholds, each surviving block decoded
+    once for the whole workload (plans/serve.py _batch_wand_shard).
 
     This is the throughput-serving shape: the keyword frame carries a qid
     column, candidates fan out per (qid, term), one hash aggregate scores
@@ -350,7 +355,7 @@ def search_many(
         from .serve import resolve_keywords, shard_search
 
         kws = resolve_keywords(spark, index, queries)
-        return shard_search(spark, index, kws, k=k, with_prox=with_prox)
+        return shard_search(spark, index, kws, k=k, with_prox=with_prox, prune=prune)
 
     digested = {qid: digest_query(qtext) for qid, (qtext, _) in queries.items()}
     modes = {qid: mode for qid, (_, mode) in queries.items()}

@@ -54,6 +54,32 @@ def test_wand_actually_prunes(spark, index200):
     assert total >= int(meta["last_doc_id"].max() - meta["first_doc_id"].min())
 
 
+def test_batch_wand_equals_unpruned(spark, index200):
+    """search_many(prune=True) — one in-kernel sweep, per-qid thresholds —
+    must return exactly the unpruned batch output on a MIXED or/and
+    workload (including a query with an absent term and a singleton)."""
+    from search_engine_spark.plans.query import search_many
+
+    wl = {
+        "a": (f"{W(1)} {W(2)}", "or"),
+        "b": (f"{W(0)} {W(400)}", "or"),
+        "c": (f"{W(3)} {W(9)}", "and"),
+        "d": (W(50), "or"),
+        "e": (f"{W(0)} {W(5)} {W(7)}", "or"),
+        "f": (f"{W(1)} zzzqmissing", "and"),
+    }
+    full = search_many(spark, index200, wl, prune=False).collect()
+    pruned = search_many(spark, index200, wl, prune=True).collect()
+    key = lambda r: (r["qid"], r["rank"])
+    full.sort(key=key)
+    pruned.sort(key=key)
+    assert [(r["qid"], r["rank"], r["doc_id"]) for r in pruned] == [
+        (r["qid"], r["rank"], r["doc_id"]) for r in full
+    ]
+    for a, b in zip(pruned, full):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-12, abs=1e-8)
+
+
 def test_shard_wand_equals_shuffle_serving(spark, index200):
     # the pruned shard kernel and the set-oriented shuffle plan must agree
     # (the shuffle path has no WAND; it is the unpruned cross-check)
