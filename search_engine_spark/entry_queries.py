@@ -939,58 +939,95 @@ SELECT doc_id, (CASE WHEN v1 = 'a' THEN 200 ELSE 198 END
 FROM base WHERE t = 0"""
 
 
-def _q_mx_mixed(spark, sf_dir):
-    """Q11+Q21 mixed total: term keyword 'see' + one TEX keyword through
-    mixed_search (total = prox + (1+max_math)/2*bm25 + 10000*(match_dim +
-    [max_math>0]), search/search.c:253-274). Every template doc tokenizes
-    to exactly (see, math_exp, and, math_exp, end), so doclen=avgdl=5 and
-    the term side is closed-form in the oracle; the math side reuses the
-    template containment scores."""
-    from .math.index import build_math_index
-    from .math.search import mixed_search
+def _mx_mixed_query(qtext: str):
+    """Q11+Q21 mixed total through mixed_search with the DEFAULT (MNC)
+    math scoring + expression-position proximity: total = prox +
+    (1+max_math)/2*bm25 + 10000*(match_dim + [max_math>0])
+    (search/search.c:253-274). Every template doc tokenizes to exactly
+    (see, math_exp, and, math_exp, end), so doclen=avgdl=5, the term side
+    is closed-form in the oracle, matched expressions sit at token
+    positions 1/3, and the min-dist between the term keyword and a matched
+    expression is closed-form too (search/search.c:215-237)."""
 
-    docs = _math_docs(spark, sf_dir).select(
-        F.format_string("https://math.local/doc%010d", F.col("doc_id")).alias("url"),
-        "text",
-        "doc_id",
-    )
-    idx = build_index(spark, docs, id_col="doc_id")
-    mp = build_math_index(docs)
-    res = mixed_search(spark, idx, mp, "see [imath]a+\\frac{2}{a}[/imath]", k=S.RANK_K + 64)
-    rounded = res.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        (F.round("score", 4) + F.lit(0.0)).alias("score_r"),
-        (F.round("max_math", 6) + F.lit(0.0)).alias("max_math_r"),
-    )
-    w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
-    return (
-        rounded.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= S.RANK_K)
-        .select("rank", "doc_id", "score_r", "max_math_r")
-    )
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .math.index import build_math_index, build_math_lr_index
+        from .math.search import mixed_search
+
+        docs = _math_docs(spark, sf_dir).select(
+            F.format_string("https://math.local/doc%010d", F.col("doc_id")).alias("url"),
+            "text",
+            "doc_id",
+        )
+        idx = build_index(spark, docs, id_col="doc_id")
+        mp = build_math_index(docs)
+        lr = build_math_lr_index(docs)
+        res = mixed_search(
+            spark, idx, mp, qtext, k=S.RANK_K + 64, math_lr_postings=lr
+        )
+        rounded = res.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.round("score", 4) + F.lit(0.0)).alias("score_r"),
+            (F.round("max_math", 6) + F.lit(0.0)).alias("max_math_r"),
+            (F.round("prox", 6) + F.lit(0.0)).alias("prox_r"),
+        )
+        w = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+        return (
+            rounded.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= S.RANK_K)
+            .select("rank", "doc_id", "score_r", "max_math_r", "prox_r")
+        )
+
+    return fn
 
 
-SQL_MX_MIXED = f"""
+def _sql_mx_mixed(mnc_closed_form_sql: str) -> str:
+    """Oracle for a 'see [imath]..[/imath]' mixed query: m is the MNC score
+    normalized by 100*n_q (closed form per template); a doc with a matched
+    expression has min-dist 1 between 'see' (pos 0) and the expression
+    (pos 1), docs without one have a single keyword => prox = ln 0.3."""
+    return f"""
 WITH {SQL_MX_BASE},
 consts AS (SELECT count(*)::DOUBLE AS docN FROM documents),
 ts AS (SELECT ln(0.5 / (docN + 0.5)) * 2.5 / (1 + 1.5 * (0.25 + (1.5 / 5.0) * 5)) AS s
        FROM consts),
-mm AS (SELECT doc_id,
-              CASE WHEN t = 0
-                   THEN (3 + CASE WHEN v1 = 'a' THEN 4 ELSE 0 END
-                           + CASE WHEN n = '2' THEN 2 ELSE 0 END) / 9.0
-                   ELSE 0.0 END AS m
-       FROM base),
+mm AS (SELECT doc_id, {mnc_closed_form_sql} AS m FROM base),
 tot AS (SELECT doc_id,
-               ln(0.3) + (1 + m) / 2.0 * (1.0 + s)
-                       + 10000 * (1 + CASE WHEN m > 0 THEN 1 ELSE 0 END) AS score,
+               CASE WHEN m > 0 THEN ln(0.3 + exp(-1.0)) ELSE ln(0.3) END AS prox,
+               CASE WHEN m > 0 THEN ln(0.3 + exp(-1.0)) ELSE ln(0.3) END
+                 + (1 + m) / 2.0 * (1.0 + s)
+                 + 10000 * (1 + CASE WHEN m > 0 THEN 1 ELSE 0 END) AS score,
                m
         FROM mm CROSS JOIN ts)
 SELECT * FROM (
   SELECT row_number() OVER (ORDER BY round(score, 4) DESC, doc_id ASC)::BIGINT AS rank,
-         doc_id, round(score, 4) + 0.0 AS score_r, round(m, 6) + 0.0 AS max_math_r
+         doc_id, round(score, 4) + 0.0 AS score_r, round(m, 6) + 0.0 AS max_math_r,
+         round(prox, 6) + 0.0 AS prox_r
   FROM tot
 ) WHERE rank <= 155 ORDER BY rank"""
+
+
+# query see + [imath]a+\frac{2}{a}[/imath]: MNC AND-merge admits ONLY
+# template-0 expressions (every other template misses a query path; the
+# second per-doc expression has n_lr = 1 < 3); score = two VAR marks
+# (100 exact / 99 alpha) + one NUM mark, level = 0, n_d = n_q = 3
+SQL_MX_MIXED = _sql_mx_mixed(
+    """CASE WHEN t = 0
+            THEN ((CASE WHEN v1 = 'a' THEN 200 ELSE 198 END)
+                + (CASE WHEN n = '2' THEN 100 ELSE 99 END))::DOUBLE / 300.0
+            ELSE 0.0 END"""
+)
+
+# query see + [imath]\frac{a}{b}[/imath]: only template-2 expressions carry
+# BOTH V/frac#1 and V/frac#2 leaf paths, so only t = 2 docs match (their
+# matched expression at token pos 1 gives min-dist 1 to 'see'; every other
+# doc has a single keyword => prox = ln 0.3 — the term<->math proximity
+# evidence row)
+SQL_MX_MIXED_PROX = _sql_mx_mixed(
+    """CASE WHEN t = 2
+            THEN ((CASE WHEN v1 = 'a' THEN 100 ELSE 99 END)
+                + (CASE WHEN v2 = 'b' THEN 100 ELSE 99 END))::DOUBLE / 200.0
+            ELSE 0.0 END"""
+)
 
 
 def _q_sessions(spark, sf_dir):
@@ -1241,7 +1278,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mx_expr_match": (_mx_match_query("a+\\frac{2}{a}"), SQL_MX_MATCH_T0),
     "mx_expr_match_frac": (_mx_match_query("\\frac{a}{b}"), SQL_MX_MATCH_T2),
     "mx_mnc_rank": (_q_mx_mnc, SQL_MX_MNC),
-    "mx_mixed_total": (_q_mx_mixed, SQL_MX_MIXED),
+    "mx_mixed_total": (
+        _mx_mixed_query("see [imath]a+\\frac{2}{a}[/imath]"),
+        SQL_MX_MIXED,
+    ),
+    "mx_mixed_prox": (
+        _mx_mixed_query("see [imath]\\frac{a}{b}[/imath]"),
+        SQL_MX_MIXED_PROX,
+    ),
     # --- streaming operators (batch twins of streaming/ingest.py) ---
     "st_sessions": (_q_sessions, SQL_SESSIONS),
     "st_window_counts": (_q_window_counts, SQL_WINDOW_COUNTS),

@@ -41,6 +41,11 @@ MATH_POSTING_SCHEMA = StructType(
         StructField("doc_id", LongType(), False),
         StructField("exp_id", IntegerType(), False),
         StructField("n_paths", IntegerType(), False),
+        # token position of the expression's math_exp placeholder in the
+        # document's term stream (indexer/index.c:149-151 gives each math
+        # expression a position in the same per-doc counter as words);
+        # matched expressions feed proximity (search/search.c:215-237)
+        StructField("exp_pos", IntegerType(), False),
     ]
 )
 
@@ -69,8 +74,20 @@ MATH_LR_SCHEMA = StructType(
         StructField("symbol", StringType(), False),  # concrete leaf symbol
         StructField("path_id", IntegerType(), False),  # 1..64, leaf order
         StructField("n_lr", IntegerType(), False),  # expression's lr-path count
+        StructField("exp_pos", IntegerType(), False),  # token position (see above)
     ]
 )
+
+
+def _math_exp_positions(text: str) -> list[int]:
+    """Token positions of the math_exp placeholders, in span order.
+
+    tokenize_text and extract_math_spans walk complete [imath] spans with
+    identical (flex) semantics, so the i-th placeholder position belongs to
+    the i-th extracted span."""
+    from ..functions.tokenizer import MATH_PLACEHOLDER, tokenize_text
+
+    return [i for i, t in enumerate(tokenize_text(text)) if t == MATH_PLACEHOLDER]
 
 
 def build_math_lr_index(docs: DataFrame) -> DataFrame:
@@ -86,10 +103,11 @@ def build_math_lr_index(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = {"doc_id": [], "exp_id": [], "struct": [], "symbol": [], "path_id": [], "n_lr": []}
+            rows = {"doc_id": [], "exp_id": [], "struct": [], "symbol": [], "path_id": [], "n_lr": [], "exp_pos": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if not isinstance(text, str):
                     continue
+                mpos = _math_exp_positions(text)
                 for exp_id, tex in enumerate(extract_math_spans(text)):
                     paths = tex_lr_paths(tex)
                     for pid, (struct, symbol) in enumerate(paths, start=1):
@@ -99,6 +117,7 @@ def build_math_lr_index(docs: DataFrame) -> DataFrame:
                         rows["symbol"].append(symbol)
                         rows["path_id"].append(pid)
                         rows["n_lr"].append(len(paths))
+                        rows["exp_pos"].append(mpos[exp_id])
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id", "text").mapInPandas(extract, MATH_LR_SCHEMA)
@@ -111,10 +130,11 @@ def build_math_index(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = {"subpath": [], "is_gener": [], "doc_id": [], "exp_id": [], "n_paths": []}
+            rows = {"subpath": [], "is_gener": [], "doc_id": [], "exp_id": [], "n_paths": [], "exp_pos": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if not isinstance(text, str):
                     continue
+                mpos = _math_exp_positions(text)
                 for exp_id, tex in enumerate(extract_math_spans(text)):
                     paths = tex_subpaths(tex)
                     for p, g in paths:
@@ -123,6 +143,7 @@ def build_math_index(docs: DataFrame) -> DataFrame:
                         rows["doc_id"].append(doc_id)
                         rows["exp_id"].append(exp_id)
                         rows["n_paths"].append(len(paths))
+                        rows["exp_pos"].append(mpos[exp_id])
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id", "text").mapInPandas(extract, MATH_POSTING_SCHEMA)

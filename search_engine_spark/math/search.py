@@ -6,45 +6,73 @@ MNC bipartite match, keep each doc's max expression score, then feed those
 transient postings into the top-level OR merge beside the term postings
 (search/math-expr-search.c:150-264, math-search.c:117-209, search.c:120-135).
 
-Set-oriented re-expression: join the (tiny, broadcast) query-subpath frame
-against math_postings, aggregate matched weights per (doc_id, exp_id), take
-per-doc max. Similarity (MNC-lite, documented deviation from
-search/mnc-score.c): concrete subpath matches weigh 2, gener (alpha-
-equivalent) matches weigh 1; containment score scaled by an expression-size
-symmetry penalty:
+Two scoring paths, both set-oriented:
 
-    sim = (matched_w / denom_q) * (min(nq, nd) / max(nq, nd))
+- **MNC mark-and-cross** (the DEFAULT for mixed queries when the leaf-root
+  path table is available; reference search/mnc-score.c:264-330): broadcast
+  the ordered query-path frame, prefix/suffix-match it against the lr path
+  table, AND-merge candidates (every query path matched, n_lr >= n_q), then
+  run the bitmap mark-and-cross per candidate expression inside
+  applyInPandas — the quadratic-ish loop only ever touches the candidate
+  tail, never the corpus. Exact match scores 100*n_q (normalized to 1.0 in
+  mixed totals).
+- **Containment similarity** (MNC-lite fallback over the subpath-set table
+  when no lr table is given): concrete subpath matches weigh 2, gener
+  (alpha-equivalent) matches weigh 1, scaled by an expression-size symmetry
+  penalty — a pure column aggregate.
 
-so exact-symbol matches rank above alpha-equivalent ones and structurally
-smaller/larger expressions rank below same-shape ones — reproducing the
-reference golden-test ORDERINGS (alpha-equivalence, non-commutative,
-wildcard) without the per-pair bipartite loop, which keeps scoring a pure
-column aggregate at 10^12-doc scale.
+Reference read guards (hostile-query robustness): at most
+``MAX_MATH_LISTS`` = 512 subpath posting lists merge per TEX keyword
+(search/config.h:10 MAX_MERGE_POSTINGS role) and at most
+``MAX_MATH_ITEMS_PER_LIST`` = 301000 items are read per list
+(search/config.h:43 role); both truncations are deterministic.
 
 Mixed total score is the reference formula verbatim (search/search.c:253-274):
   total = prox + (1 + max_math)/2 * bm25 + 10000 * (match_dim + [max_math>0])
-Proximity uses term-keyword positions (deviation: the reference also feeds
-matched expression positions; our math postings don't carry positions).
+Proximity merges term-keyword positions with MATCHED expression positions
+(exp_pos, one extra keyword per TEX keyword — search/search.c:215-237,
+indexer/index.c:149-151 gives each math expression a token position).
 """
 
 from __future__ import annotations
 
 import math as _math
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators import scoring as S
 from ..plans.build import InvertedIndex
-from ..plans.query import _qterms_idf_df, _score_frame, digest_query, top_k
+from ..plans.query import (
+    _candidate_rows,
+    _prox_col,
+    _prox_frame,
+    _qterms_idf_df,
+    _score_frame,
+    digest_query,
+    top_k,
+)
 from .index import extract_math_spans
 from .texparse import tex_subpaths
 
+MAX_MATH_LISTS = 512  # search/config.h:10 — max posting lists per dir-merge
+MAX_MATH_ITEMS_PER_LIST = 301_000  # search/config.h:43 — read cap per list
 
-def math_expr_scores(spark: SparkSession, math_postings: DataFrame, tex: str) -> DataFrame:
-    """One TEX keyword -> (doc_id, math_score) with per-doc max expr sim."""
-    qpaths = tex_subpaths(tex)
+
+def _containment_per_exp(
+    spark: SparkSession,
+    math_postings: DataFrame,
+    tex: str,
+    max_items_per_list: int = MAX_MATH_ITEMS_PER_LIST,
+) -> DataFrame | None:
+    """One TEX keyword -> (doc_id, exp_id, sim, exp_pos) containment scores.
+
+    sim = (matched_w / denom_q) * (min(nq, nd) / max(nq, nd)) — exact-symbol
+    matches outrank alpha-equivalent ones, size-asymmetric expressions rank
+    below same-shape ones.
+    """
+    qpaths = tex_subpaths(tex)[:MAX_MATH_LISTS]
     if not qpaths:
-        return spark.createDataFrame([], "doc_id long, math_score double")
+        return None
     denom = float(sum(2 if not g else 1 for _, g in qpaths))
     nq = len(qpaths)
     qdf = spark.createDataFrame(
@@ -52,20 +80,36 @@ def math_expr_scores(spark: SparkSession, math_postings: DataFrame, tex: str) ->
         "subpath string, is_gener boolean, w double",
     )
     matched = math_postings.join(F.broadcast(qdf), ["subpath", "is_gener"])
+    if max_items_per_list is not None:
+        # reference read cap: each subpath "directory" yields at most N
+        # items in deterministic (doc_id, exp_id) order
+        wnd = Window.partitionBy("subpath", "is_gener").orderBy("doc_id", "exp_id")
+        matched = (
+            matched.withColumn("_rn", F.row_number().over(wnd))
+            .where(F.col("_rn") <= max_items_per_list)
+            .drop("_rn")
+        )
     per_exp = matched.groupBy("doc_id", "exp_id").agg(
         F.sum("w").alias("mw"),
-        F.count(F.lit(1)).alias("n_matched"),
         F.max("n_paths").alias("nd"),
+        F.max("exp_pos").alias("exp_pos"),
     )
     sim = (F.col("mw") / F.lit(denom)) * (
         F.least(F.lit(nq), F.col("nd")) / F.greatest(F.lit(nq), F.col("nd"))
     )
-    return per_exp.select("doc_id", sim.alias("sim")).groupBy("doc_id").agg(
-        F.max("sim").alias("math_score")
-    )
+    return per_exp.select("doc_id", "exp_id", sim.alias("sim"), "exp_pos")
 
 
-def mnc_expr_scores(spark: SparkSession, lr_postings: DataFrame, tex: str) -> DataFrame:
+def math_expr_scores(spark: SparkSession, math_postings: DataFrame, tex: str) -> DataFrame:
+    """One TEX keyword -> (doc_id, math_score) with per-doc max expr sim
+    (containment similarity)."""
+    pe = _containment_per_exp(spark, math_postings, tex)
+    if pe is None:
+        return spark.createDataFrame([], "doc_id long, math_score double")
+    return pe.groupBy("doc_id").agg(F.max("sim").alias("math_score"))
+
+
+def _mnc_per_exp(spark: SparkSession, lr_postings: DataFrame, tex: str) -> DataFrame | None:
     """Reference-fidelity expression ranking: the MNC mark-and-cross score
     (search/mnc-score.c, math-expr-search.c:280-360) over the ordered
     leaf-root path table (build_math_lr_index).
@@ -75,20 +119,18 @@ def mnc_expr_scores(spark: SparkSession, lr_postings: DataFrame, tex: str) -> Da
     must match EVERY distinct query structure (the reference's AND dir
     merge) and satisfy n_qry <= n_doc paths; the bitmap mark-and-cross then
     runs per candidate expression inside applyInPandas — the quadratic-ish
-    loop only ever touches the candidate tail, never the corpus. Use the
-    containment similarity (math_expr_scores) as the cheap pre-rank and
-    this as the fidelity re-rank.
+    loop only ever touches the candidate tail, never the corpus.
 
-    Returns (doc_id, mnc_score) with the per-doc max expression score.
+    Returns (doc_id, exp_id, mnc_score, exp_pos) or None for an empty query.
     """
     import pandas as pd
 
-    from .mnc import expr_mnc_sim, order_query_paths
+    from .mnc import order_query_paths
     from .texparse import tex_lr_paths
 
     qpaths = tex_lr_paths(tex)
     if not qpaths:
-        return spark.createDataFrame([], "doc_id long, mnc_score long")
+        return None
     q_sorted = order_query_paths(qpaths)
     n_q = len(q_sorted)
     qdf = spark.createDataFrame(
@@ -116,7 +158,7 @@ def mnc_expr_scores(spark: SparkSession, lr_postings: DataFrame, tex: str) -> Da
         .select("doc_id", "exp_id")
     )
     rows = matched.join(cands, ["doc_id", "exp_id"]).select(
-        "doc_id", "exp_id", "struct", "symbol", "path_id", "n_lr"
+        "doc_id", "exp_id", "struct", "symbol", "path_id", "n_lr", "exp_pos"
     )
     qlist = list(q_sorted)
 
@@ -138,14 +180,22 @@ def mnc_expr_scores(spark: SparkSession, lr_postings: DataFrame, tex: str) -> Da
                 "doc_id": [int(pdf["doc_id"].iloc[0])],
                 "exp_id": [int(pdf["exp_id"].iloc[0])],
                 "mnc_score": [sim],
+                "exp_pos": [int(pdf["exp_pos"].iloc[0])],
             }
         )
 
-    per_exp = rows.groupBy("doc_id", "exp_id").applyInPandas(
-        score_group, "doc_id long, exp_id int, mnc_score long"
+    return rows.groupBy("doc_id", "exp_id").applyInPandas(
+        score_group, "doc_id long, exp_id int, mnc_score long, exp_pos int"
     )
+
+
+def mnc_expr_scores(spark: SparkSession, lr_postings: DataFrame, tex: str) -> DataFrame:
+    """(doc_id, mnc_score) with the per-doc max MNC expression score."""
+    pe = _mnc_per_exp(spark, lr_postings, tex)
+    if pe is None:
+        return spark.createDataFrame([], "doc_id long, mnc_score long")
     return (
-        per_exp.where(F.col("mnc_score") > 0)
+        pe.where(F.col("mnc_score") > 0)
         .groupBy("doc_id")
         .agg(F.max("mnc_score").alias("mnc_score"))
     )
@@ -211,43 +261,76 @@ def mixed_search(
     """Full mixed term+math query -> top-k
     (doc_id, bm25, match_dim, max_math, prox, score).
 
-    With ``math_lr_postings`` (build_math_lr_index output) supplied, the
-    math component is re-scored with the reference-fidelity MNC
-    mark-and-cross (normalized to [0,1]: exact match = 1.0), restricted to
-    the containment pre-rank's candidate docs — the cheap column aggregate
-    prunes, the bitmap loop only touches the tail.
+    Math scoring: with ``math_lr_postings`` (build_math_lr_index output)
+    the math component IS the reference MNC mark-and-cross ranking
+    (search/mnc-score.c:264-330), normalized so an exact expression match
+    scores 1.0 (= 100*n_q raw). Without the lr table the containment
+    similarity is the fallback. The round-2 containment-pre-rank + left-
+    semi restriction is GONE: containment requires an exact (subpath,
+    is_gener) overlap while MNC matches leaf-anchored prefixes, so the
+    pre-rank dropped docs whose expressions strictly extend every query
+    subpath (e.g. query \\frac{a}{b} vs doc \\frac{a}{b}+c); MNC's own
+    n_lr >= n_q + AND dir-merge pruning bounds the candidate tail instead.
+
+    Proximity: matched expression positions join the term positions as one
+    extra keyword per TEX keyword (reference search/search.c:215-237) — a
+    doc whose only adjacency is term<->math gets prox != ln 0.3.
     """
     terms, texes = split_query(qtext)
+    n_terms = len(terms)
 
     # per-doc max over all TEX keywords (reference keeps a global max,
-    # search/search.c:222-229 max_math_score)
+    # search/search.c:222-229 max_math_score) + matched expr positions
     math_df = None
-    for tex in texes:
-        mdf = math_expr_scores(spark, math_postings, tex)
+    math_pos = None
+    for ti, tex in enumerate(texes):
         if math_lr_postings is not None:
             from .texparse import tex_lr_paths
 
             n_q = len(tex_lr_paths(tex))
-            if n_q:
-                lr = math_lr_postings.join(
-                    mdf.select("doc_id").distinct(), "doc_id", "left_semi"
-                )
-                mnc = mnc_expr_scores(spark, lr, tex)
-                mdf = mnc.select(
-                    "doc_id", (F.col("mnc_score") / F.lit(100.0 * n_q)).alias("math_score")
-                )
-        math_df = mdf if math_df is None else math_df.unionByName(mdf)
+            if n_q == 0:
+                continue
+            pe = _mnc_per_exp(spark, math_lr_postings, tex)
+            if pe is None:
+                continue
+            pe = pe.where(F.col("mnc_score") > 0).select(
+                "doc_id",
+                (F.col("mnc_score") / F.lit(100.0 * n_q)).alias("sim"),
+                "exp_pos",
+            )
+        else:
+            pe = _containment_per_exp(spark, math_postings, tex)
+            if pe is None:
+                continue
+            pe = pe.where(F.col("sim") > 0).select("doc_id", "sim", "exp_pos")
+        mdf = pe.groupBy("doc_id").agg(
+            F.max("sim").alias("math_score"),
+            F.collect_list("exp_pos").alias("_mpos"),
+        )
+        math_df = (
+            mdf if math_df is None else math_df.unionByName(mdf)
+        )
+        if with_prox:
+            mp = mdf.select(
+                "doc_id",
+                F.lit(n_terms + ti).alias("kw_idx"),
+                F.col("_mpos").alias("positions"),
+            )
+            math_pos = mp if math_pos is None else math_pos.unionByName(mp)
     if math_df is not None:
         math_df = math_df.groupBy("doc_id").agg(F.max("math_score").alias("max_math"))
 
+    term_pos = None
     if terms:
-        from ..plans.query import _candidate_rows
-
         rows = _candidate_rows(index, terms, use_blocks=True, with_positions=with_prox)
         kw = _qterms_idf_df(spark, index, [("q", i, t) for i, t in enumerate(terms)])
-        per_doc = _score_frame(index, rows, kw, mode, with_prox, {"q": len(terms)}).select(
-            "doc_id", "bm25", "match_dim", "prox"
-        )
+        per_doc = _score_frame(
+            index, rows, kw, mode, with_prox=False, n_terms_by_qid={"q": len(terms)}
+        ).select("doc_id", "bm25", "match_dim")
+        if with_prox:
+            term_pos = rows.join(
+                F.broadcast(kw.select("term", "kw_idx")), "term"
+            ).select("doc_id", "kw_idx", "positions")
     else:
         per_doc = None
 
@@ -262,7 +345,6 @@ def mixed_search(
             F.lit(1.0).alias("bm25"),
             F.lit(0.0).alias("match_dim"),
             F.col("max_math"),
-            F.lit(ln03).alias("prox"),
         )
     elif math_df is None:
         combined = per_doc.withColumn("max_math", F.lit(0.0))
@@ -276,8 +358,21 @@ def mixed_search(
             F.coalesce("bm25", F.lit(1.0)).alias("bm25"),
             F.coalesce("match_dim", F.lit(0.0)).alias("match_dim"),
             F.coalesce("max_math", F.lit(0.0)).alias("max_math"),
-            F.coalesce("prox", F.lit(ln03)).alias("prox"),
         )
+
+    # proximity over the merged term + matched-math position stream
+    pos_all = term_pos
+    if math_pos is not None:
+        pos_all = math_pos if pos_all is None else pos_all.unionByName(math_pos)
+    if with_prox and pos_all is not None:
+        prox_df = _prox_frame(pos_all, ["doc_id"])
+        combined = (
+            combined.join(prox_df, "doc_id", "left")
+            .withColumn("prox", _prox_col())
+            .drop("min_dist")
+        )
+    else:
+        combined = combined.withColumn("prox", F.lit(ln03))
 
     total = (
         F.col("prox")

@@ -148,6 +148,35 @@ def test_mixed_search_mnc_rerank(spark, math_setup):
     assert scores[KEY_TO_ID["alpha"]] > scores.get(KEY_TO_ID["partial"], 0.0)
 
 
+def test_math_read_caps(spark, monkeypatch):
+    """Reference read guards: at most MAX_MATH_LISTS subpath lists merge per
+    TEX keyword (search/config.h:10 role) and at most
+    MAX_MATH_ITEMS_PER_LIST items are read per list (search/config.h:43
+    role); truncation is deterministic (doc_id, exp_id order)."""
+    import search_engine_spark.math.search as MS
+    from search_engine_spark.math.search import _containment_per_exp
+
+    docs = spark.createDataFrame(
+        [(i, f"u{i}", f"see [imath]a+b[/imath] end") for i in range(1, 4)],
+        "doc_id long, url string, text string",
+    )
+    mp = build_math_index(docs).cache()
+    # items cap: each matched subpath list reads only the lowest doc_id
+    pe = _containment_per_exp(spark, mp, "a+b", max_items_per_list=1)
+    got = {r["doc_id"] for r in pe.collect()}
+    assert got == {1}
+    # full read reaches every doc
+    pe_full = _containment_per_exp(spark, mp, "a+b")
+    assert {r["doc_id"] for r in pe_full.collect()} == {1, 2, 3}
+    # lists cap: with one allowed list, only a single (subpath, is_gener)
+    # dir is merged => matched weight strictly below the full query's
+    monkeypatch.setattr(MS, "MAX_MATH_LISTS", 1)
+    one = max(r["sim"] for r in _containment_per_exp(spark, mp, "a+b").collect())
+    monkeypatch.setattr(MS, "MAX_MATH_LISTS", 512)
+    full = max(r["sim"] for r in _containment_per_exp(spark, mp, "a+b").collect())
+    assert one < full == 1.0
+
+
 def test_grammar_breadth():
     """Round-2 token classes (reference grammar.y:35-67): _OVER/CHOOSE
     primitives, BINOM, PRIME, VECT accents, MODULAR, matrix environments."""
