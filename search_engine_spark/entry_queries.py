@@ -694,6 +694,64 @@ FROM cum WHERE isl_id = 0 GROUP BY doc_id
 """.format(top20=_bm25_sql(["merge", "join"], "or", k=20).replace("ORDER BY rank", ""))
 
 
+def _q_postcache_equiv(spark, sf_dir):
+    """Q18 posting cache as a hard-signal row: serve the or2 query through
+    the BUDGETED warm view (df-hottest terms persisted in memory, cold
+    terms streamed from the store — reference indices/postcache.c split)
+    and require output identical to the plain oracle. A tiny budget forces
+    BOTH the hot (cached) and cold (anti-join) paths to carry terms."""
+    import dataclasses
+
+    from .plans.cache import build_posting_cache, served_blocks
+
+    idx = get_index(spark, sf_dir)
+    cache = build_posting_cache(idx, budget_bytes=256 * 1024)
+    warm = dataclasses.replace(idx, doc_blocks=served_blocks(idx, cache))
+    res = search(spark, warm, "merge join", mode="or", k=S.RANK_K + 64)
+    return _ranked(res, k=S.RANK_K)
+
+
+def _q_resume_slice(spark, sf_dir):
+    """I16 resume as a hard-signal row: partitioned build with an injected
+    mid-build crash, then a resumed build (skips committed partitions via
+    the lineage manifest) and finalize; the output postings of the 'm*'
+    term bucket must be byte-identical to a straight tokenize->group oracle
+    (resume must neither lose nor duplicate postings)."""
+    import os
+    import shutil
+
+    from .plans.checkpoint import build_partitioned, finalize_index
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    path = os.path.join(base, f"sgr_resume_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    corpus = documents(spark, sf_dir).select(
+        F.format_string("https://testdata.local/doc%010d", F.col("doc_id")).alias("url"),
+        "text",
+        "doc_id",
+    )
+    try:
+        build_partitioned(spark, corpus, path, n_parts=4, fail_after=2, id_col="doc_id")
+    except RuntimeError:
+        pass  # the injected crash
+    build_partitioned(spark, corpus, path, n_parts=4, id_col="doc_id")  # resume
+    idx = finalize_index(spark, path, n_parts=4)
+    return (
+        idx.postings.where(F.col("term").startswith("m"))
+        .select(
+            "term",
+            F.col("doc_id").cast("long"),
+            F.col("tf").cast("long"),
+            F.col("doclen").cast("long"),
+        )
+    )
+
+
+SQL_RESUME_SLICE = f"""WITH {SQL_TOK}
+SELECT p.term, p.doc_id::BIGINT AS doc_id, p.tf::BIGINT AS tf, d.doclen
+FROM post p JOIN dl d USING (doc_id) WHERE p.term LIKE 'm%'"""
+
+
 def _q_rel_pricing(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -1250,6 +1308,11 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ft_highlight_occurs": (_q_highlight_occurs, SQL_HIGHLIGHT_OCCURS),
     "ft_title": (_q_title, SQL_TITLE),
     "ft_snippet": (_q_snippet, SQL_SNIPPET),
+    "ft_postcache_equiv": (
+        _q_postcache_equiv,
+        _bm25_sql(["merge", "join"], "or"),
+    ),
+    "ft_resume_slice": (_q_resume_slice, SQL_RESUME_SLICE),
     # --- dedup suite ---
     "dd_exact": (_q_exact_dedup, SQL_EXACT_DEDUP),
     "dd_ngram_jaccard": (_q_ngram_jaccard, SQL_NGRAM_JACCARD),

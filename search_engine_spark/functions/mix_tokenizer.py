@@ -8,10 +8,12 @@ to jieba's CutForSearch, skipping punctuation-tagged tokens
 
 jieba is not available in this container, so the segmenter is pluggable:
 ``segment=`` takes any callable ``str -> list[(word, char_offset)]``. The
-default fallback is deterministic and documented: English letter runs as
-words, each CJK codepoint as a single-character word (unigram segmentation
-— the degenerate CutForSearch), punctuation/digits dropped. Swapping in
-jieba is a one-liner where it is installed:
+DEFAULT is the vendored forward-maximum-matching segmenter over a bundled
+common-word dictionary (cjk_dict.fmm_segment — real multi-character words,
+unigram fallback for out-of-vocabulary characters). ``unigram_segment``
+(each CJK codepoint as a single-character word, the degenerate
+CutForSearch) remains available. Swapping in jieba is a one-liner where it
+is installed:
 
     from jieba import tokenize
     mix_tokens_frame(df, segment=lambda s: [(w, a) for w, a, _ in tokenize(s, mode='search')])
@@ -26,6 +28,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
+from .cjk_dict import fmm_segment
 from .tokenizer import MATH_PLACEHOLDER
 
 _MIX_TOKEN_RE = re.compile(r"\[imath\]|[A-Za-z]+|[⺀-￰\U00010000-\U0003134f]")
@@ -52,7 +55,7 @@ def unigram_segment(text: str) -> list[tuple[str, int]]:
 
 
 def mix_tokenize_text(
-    text: str, segment: Callable[[str], list[tuple[str, int]]] = unigram_segment
+    text: str, segment: Callable[[str], list[tuple[str, int]]] = fmm_segment
 ) -> list[str]:
     """Mixed-lexer term stream: segmented words lowercased, math spans ->
     math_exp, unterminated [imath] swallows the rest (flex semantics)."""
@@ -92,7 +95,7 @@ def mix_tokenize_text(
     return out
 
 
-def mix_tokenize_udf(segment: Callable[[str], list[tuple[str, int]]] = unigram_segment):
+def mix_tokenize_udf(segment: Callable[[str], list[tuple[str, int]]] = fmm_segment):
     @F.pandas_udf(ArrayType(StringType()))
     def _udf(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: mix_tokenize_text(t, segment) if isinstance(t, str) else [])
@@ -100,7 +103,7 @@ def mix_tokenize_udf(segment: Callable[[str], list[tuple[str, int]]] = unigram_s
     return _udf
 
 
-def mix_tokens_frame(df, text_col: str = "text", id_col: str = "doc_id", segment=unigram_segment):
+def mix_tokens_frame(df, text_col: str = "text", id_col: str = "doc_id", segment=fmm_segment):
     """documents -> tokens (doc_id, pos, term) through the mixed lexer."""
     return df.select(
         F.col(id_col).alias("doc_id"),

@@ -1,28 +1,52 @@
 """Mixed CJK/English tokenizer tests (reference I3 semantics with the
-deterministic unigram fallback segmenter)."""
+vendored FMM dictionary segmenter as default; unigram fallback kept)."""
 
 from __future__ import annotations
 
+from search_engine_spark.functions.cjk_dict import fmm_segment
 from search_engine_spark.functions.mix_tokenizer import (
     mix_tokenize_text,
     mix_tokens_frame,
     unigram_segment,
 )
 
+# default (FMM) segmenter: real multi-character words where the bundled
+# dictionary knows them, unigrams elsewhere — hand-computed goldens
 CASES = [
     ("Dog hates CAT", ["dog", "hates", "cat"]),
-    ("中文分词 test", ["中", "文", "分", "词", "test"]),
-    ("数学 [imath]a+b[/imath] 表达式", ["数", "学", "math_exp", "表", "达", "式"]),
+    ("中文分词 test", ["中文", "分词", "test"]),
+    ("数学 [imath]a+b[/imath] 表达式", ["数学", "math_exp", "表达式"]),
     ("[imath]unterminated 中文", []),
     ("mixed中En文x", ["mixed", "中", "en", "文", "x"]),
-    ("标点，测试。end", ["标", "点", "测", "试", "end"]),
+    ("标点，测试。end", ["标点", "测试", "end"]),
+    ("我们在北京大学学习汉语", ["我们", "在", "北京大学", "学习", "汉语"]),
     ("", []),
+]
+
+UNIGRAM_CASES = [
+    ("中文分词 test", ["中", "文", "分", "词", "test"]),
+    ("标点，测试。end", ["标", "点", "测", "试", "end"]),
 ]
 
 
 def test_mix_golden():
     for text, expected in CASES:
         assert mix_tokenize_text(text) == expected, text
+
+
+def test_unigram_fallback_golden():
+    for text, expected in UNIGRAM_CASES:
+        assert mix_tokenize_text(text, segment=unigram_segment) == expected, text
+
+
+def test_fmm_longest_match_and_offsets():
+    # longest match wins (北京大学 over 北京+大学); offsets are char indices
+    assert fmm_segment("北京大学") == [("北京大学", 0)]
+    assert fmm_segment("北京大") == [("北京", 0), ("大", 2)]
+    # out-of-vocabulary chars degrade to unigrams; ASCII runs stay whole
+    assert fmm_segment("xyz中鑫abc") == [("xyz", 0), ("中", 3), ("鑫", 4), ("abc", 5)]
+    # punctuation is skipped (jieba 'x'-tag analogue)
+    assert fmm_segment("中文，分词") == [("中文", 0), ("分词", 3)]
 
 
 def test_custom_segmenter_pluggable():
@@ -40,7 +64,7 @@ def test_custom_segmenter_pluggable():
 def test_mix_tokens_frame(spark):
     df = spark.createDataFrame([(1, "你好 world")], "doc_id long, text string")
     rows = mix_tokens_frame(df).orderBy("pos").collect()
-    assert [(r["pos"], r["term"]) for r in rows] == [(0, "你"), (1, "好"), (2, "world")]
+    assert [(r["pos"], r["term"]) for r in rows] == [(0, "你好"), (1, "world")]
 
 
 # --- property: run boundaries match the reference flex rule -----------------
