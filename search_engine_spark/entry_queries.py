@@ -694,6 +694,80 @@ FROM cum WHERE isl_id = 0 GROUP BY doc_id
 """.format(top20=_bm25_sql(["merge", "join"], "or", k=20).replace("ORDER BY rank", ""))
 
 
+def _q_snippet_text(spark, sf_dir):
+    """Q17 FULL snippet rendering as a hard-signal row: the complete
+    '<em class=\"hl\">'-wrapped, ' ... '-joined merged-window string from
+    the real pandas-UDF renderer (search/snippet.c:52-297), reproduced
+    byte-for-byte by the oracle (the testdata's space-joined-token
+    property makes every byte offset SQL-computable)."""
+    from .plans.snippet import snippets_for
+
+    idx = get_index(spark, sf_dir)
+    res = search(spark, idx, "merge join", mode="or", k=20 + 64)
+    top = _ranked(res, k=20).select("doc_id")
+    hits = res.join(top, "doc_id")
+    sn = snippets_for(idx, hits, ["merge", "join"])
+    return sn.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_highlights").cast("long"),
+        "snippet",
+    )
+
+
+# same island construction as SQL_SNIPPET, then each island renders as
+# alternating text segments and <em>-wrapped marks (lag() gives each mark
+# its predecessor's end; the island tail closes the window) and islands
+# join with ' ... ' — byte arithmetic is valid because the corpus is ASCII
+SQL_SNIPPET_TEXT = f"""
+WITH top AS ({{top20}}),
+nb AS (SELECT doc_id, octet_length(encode(text))::BIGINT AS nbytes FROM documents),
+{SQL_TOK},
+occ AS (
+  SELECT tok.doc_id, tok.term, tok.pos,
+         CASE WHEN tok.pos = 0 THEN 0
+              ELSE length(array_to_string(arr.a[1:tok.pos], ' ')) + 1 END AS off,
+         length(tok.term) AS tl
+  FROM tok JOIN top ON tok.doc_id = top.doc_id JOIN arr ON arr.doc_id = tok.doc_id
+  WHERE tok.term IN ('merge', 'join')),
+r AS (SELECT occ.*, nb.nbytes,
+             row_number() OVER (PARTITION BY occ.doc_id ORDER BY pos) AS rn,
+             count(*) OVER (PARTITION BY occ.doc_id) AS nh_all
+      FROM occ JOIN nb ON nb.doc_id = occ.doc_id),
+w AS (SELECT doc_id, rn, least(nh_all, 8) AS n_highlights, off, tl,
+             greatest(off - 320, 0) AS ws,
+             least(off + tl + 320, nbytes) AS we
+      FROM r WHERE rn <= 8),
+isl AS (SELECT *, CASE WHEN rn = 1 THEN 0
+                       WHEN ws > max(we) OVER (PARTITION BY doc_id ORDER BY rn
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS brk
+        FROM w),
+cum AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY rn) AS isl_id FROM isl),
+islands AS (SELECT doc_id, isl_id, min(ws) AS iws, max(we) AS iwe FROM cum GROUP BY 1, 2),
+mk AS (SELECT c.doc_id, c.isl_id, c.rn, c.off, c.tl,
+              lag(c.off + c.tl) OVER (PARTITION BY c.doc_id, c.isl_id ORDER BY c.rn) AS prev_end
+       FROM cum c),
+seg AS (SELECT mk.doc_id, mk.isl_id, mk.rn, mk.off + mk.tl AS mend,
+               substr(d.text, coalesce(mk.prev_end, i.iws) + 1,
+                      mk.off - coalesce(mk.prev_end, i.iws))
+               || '<em class="hl">' || substr(d.text, mk.off + 1, mk.tl) || '</em>' AS s
+        FROM mk JOIN islands i USING (doc_id, isl_id)
+             JOIN documents d ON d.doc_id = mk.doc_id),
+bodies AS (SELECT doc_id, isl_id, string_agg(s, '' ORDER BY rn) AS body,
+                  max(mend) AS last_end
+           FROM seg GROUP BY 1, 2),
+island_txt AS (SELECT b.doc_id, b.isl_id,
+                      b.body || substr(d.text, b.last_end + 1, i.iwe - b.last_end) AS itxt
+               FROM bodies b JOIN islands i USING (doc_id, isl_id)
+                    JOIN documents d ON d.doc_id = b.doc_id)
+SELECT t.doc_id::BIGINT AS doc_id,
+       (SELECT max(n_highlights) FROM cum WHERE cum.doc_id = t.doc_id)::BIGINT AS n_highlights,
+       (SELECT string_agg(itxt, ' ... ' ORDER BY isl_id)
+        FROM island_txt WHERE island_txt.doc_id = t.doc_id) AS snippet
+FROM top t
+""".format(top20=_bm25_sql(["merge", "join"], "or", k=20).replace("ORDER BY rank", ""))
+
+
 def _q_postcache_equiv(spark, sf_dir):
     """Q18 posting cache as a hard-signal row: serve the or2 query through
     the BUDGETED warm view (df-hottest terms persisted in memory, cold
@@ -1308,6 +1382,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ft_highlight_occurs": (_q_highlight_occurs, SQL_HIGHLIGHT_OCCURS),
     "ft_title": (_q_title, SQL_TITLE),
     "ft_snippet": (_q_snippet, SQL_SNIPPET),
+    "ft_snippet_text": (_q_snippet_text, SQL_SNIPPET_TEXT),
     "ft_postcache_equiv": (
         _q_postcache_equiv,
         _bm25_sql(["merge", "join"], "or"),

@@ -47,7 +47,11 @@ def _normalize(rows, columns):
 
 
 ORACLE_NAMES = [n for n, (_, sql) in REGISTRY.items() if sql is not None]
-ROWS_ONLY = [n for n, (_, sql) in REGISTRY.items() if sql is None]
+
+
+def test_every_query_has_an_oracle():
+    # the hard-signal invariant: no rows-only (unverifiable) registry entries
+    assert [n for n, (_, sql) in REGISTRY.items() if sql is None] == []
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
@@ -64,14 +68,6 @@ def test_query_matches_oracle(spark, ddb, name):
     a, b = _normalize(srows, scols), _normalize(orows, ocols)
     mismatches = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
     assert not mismatches, f"{name}: first mismatch {a[mismatches[0]]} vs {b[mismatches[0]]}"
-
-
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    fn, _ = REGISTRY[name]
-    df = fn(spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
 
 
 def test_entry_smoke(spark):
