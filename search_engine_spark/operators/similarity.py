@@ -141,22 +141,35 @@ def kmeans_centroids(emb: DataFrame, k: int = 4, n_iter: int = 2) -> list[list[f
     return cents
 
 
+def _argmax_cell(cos_cols: list[Column]) -> Column:
+    """1-based argmax over cosine columns, ties to the LOWER index.
+
+    Built as array_max over (cos, -index) structs so every cosine
+    expression appears exactly ONCE in the plan — a chained
+    when(c > best, ...).otherwise(best) embeds `best` twice per level and
+    the expression tree grows 2^k (measured: k=16 centroids hung plan
+    compilation for minutes)."""
+    arr = F.array(
+        *[
+            F.struct(c.alias("c"), F.lit(-(p + 1)).alias("ni"))
+            for p, c in enumerate(cos_cols)
+        ]
+    )
+    return (-F.array_max(arr)["ni"]).cast("long")
+
+
 def assign_cells(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """+ cell column: 1-based argmax-cosine centroid, ties to the lower id."""
-    best = None
-    best_idx = None
-    for p, cv in enumerate(centroids):
+    cos_cols = []
+    for cv in centroids:
         lit = "array(" + ", ".join(repr(float(x)) + "D" for x in cv) + ")"
-        c = F.expr(
-            f"aggregate(zip_with({_dbl('embedding')}, {lit}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
-        ) / (norm_expr("embedding") * F.lit(sum(x * x for x in cv) ** 0.5))
-        if best is None:
-            best, best_idx = c, F.lit(p + 1)
-        else:
-            cond = c > best
-            best_idx = F.when(cond, F.lit(p + 1)).otherwise(best_idx)
-            best = F.when(cond, c).otherwise(best)
-    return emb.withColumn("cell", best_idx.cast("long"))
+        cos_cols.append(
+            F.expr(
+                f"aggregate(zip_with({_dbl('embedding')}, {lit}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+            )
+            / (norm_expr("embedding") * F.lit(sum(x * x for x in cv) ** 0.5))
+        )
+    return emb.withColumn("cell", _argmax_cell(cos_cols))
 
 
 def ivf_kmeans_topk(
@@ -204,19 +217,10 @@ def ivf_topk(emb: DataFrame, query_vec_id: int, centroid_ids: list[int], k: int 
         sel = sel.crossJoin(F.broadcast(cv))
     # cell = 1-based index of the max-cosine centroid, ties to the lower id
     cos_cols = [cosine_expr("embedding", f"_c{p}") for p in range(len(cents))]
-    best = None
-    best_idx = None
-    for p, c in enumerate(cos_cols):
-        if best is None:
-            best, best_idx = c, F.lit(p + 1)
-        else:
-            cond = c > best
-            best_idx = F.when(cond, F.lit(p + 1)).otherwise(best_idx)
-            best = F.when(cond, c).otherwise(best)
     assigned = sel.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("embedding"),
-        best_idx.cast("long").alias("cell"),
+        _argmax_cell(cos_cols).alias("cell"),
     )
     qrow = assigned.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("qv"), F.col("cell").alias("qcell")
