@@ -25,6 +25,7 @@ from .operators import multimodal as MM
 from .operators import scoring as S
 from .operators import similarity as SIM
 from .operators import textstats as TX
+from .operators import urls as URL
 from .plans.build import InvertedIndex, build_index
 from .plans.query import search
 
@@ -364,8 +365,7 @@ def _q_minhash_lsh(spark, sf_dir):
     )
 
 
-SQL_MINHASH_LSH = f"""
-WITH {SQL_SHINGLES},
+SQL_MINHASH_CTES = f"""{SQL_SHINGLES},
 banded AS (SELECT doc_id, b AS band_no,
                   md5(min(md5((2*b)::VARCHAR || ':' || shingle)) || '|' ||
                       min(md5((2*b+1)::VARCHAR || ':' || shingle))) AS key
@@ -373,10 +373,71 @@ banded AS (SELECT doc_id, b AS band_no,
            GROUP BY doc_id, b),
 sizes AS (SELECT band_no, key, count(*) AS bsz FROM banded GROUP BY 1, 2),
 ok AS (SELECT banded.doc_id, banded.band_no, banded.key
-       FROM banded JOIN sizes USING (band_no, key) WHERE bsz BETWEEN 2 AND 64)
-SELECT DISTINCT x.doc_id::BIGINT AS doc_a, y.doc_id::BIGINT AS doc_b
-FROM ok x JOIN ok y USING (band_no, key)
-WHERE x.doc_id < y.doc_id"""
+       FROM banded JOIN sizes USING (band_no, key) WHERE bsz BETWEEN 2 AND 64),
+lshp AS (SELECT DISTINCT x.doc_id::BIGINT AS doc_a, y.doc_id::BIGINT AS doc_b
+         FROM ok x JOIN ok y USING (band_no, key)
+         WHERE x.doc_id < y.doc_id)"""
+
+SQL_MINHASH_LSH = f"""
+WITH {SQL_MINHASH_CTES}
+SELECT doc_a, doc_b FROM lshp"""
+
+
+def _q_dup_groups(spark, sf_dir):
+    """Duplicate-GROUP resolution: connected components over the minhash-LSH
+    candidate pairs (min-label propagation; canonical keeper = component
+    min). The oracle computes TRUE transitive closure with a recursive CTE
+    — the iterative Spark propagation must converge to exactly it."""
+    d = documents(spark, sf_dir)
+    pairs = DD.minhash_lsh_pairs(d, k=3, n_hashes=8, bands=4, max_bucket=64)
+    return DD.dup_groups(d, pairs)
+
+
+SQL_DUP_GROUPS = f"""
+WITH RECURSIVE {SQL_MINHASH_CTES},
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM lshp
+          UNION ALL SELECT doc_b, doc_a FROM lshp),
+reach(node, lab) AS (
+  SELECT doc_id::BIGINT, doc_id::BIGINT FROM documents
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY 1),
+g AS (SELECT component, count(*)::BIGINT AS group_size FROM comp GROUP BY 1)
+SELECT comp.doc_id, comp.component, g.group_size,
+       comp.doc_id <> comp.component AS is_dup
+FROM comp JOIN g USING (component)"""
+
+
+def _q_url_canonical(spark, sf_dir):
+    """URL canonicalization dedup over a deterministically-synthesized
+    messy URL (uppercase scheme/host, www, default port, unsorted params,
+    utm_ tracking param, fragment, trailing slash — every rule fires).
+    The oracle asserts the CLOSED-FORM canonical string, not a SQL
+    re-implementation of the canonicalizer."""
+    d = documents(spark, sf_dir).select(
+        "doc_id",
+        F.format_string(
+            "HTTPS://WWW.Example.COM:443/%s/p%d/?b=2&utm_source=feed&a=%d#s%d",
+            F.col("source"),
+            F.col("doc_id") % 20,
+            F.col("doc_id") % 10,
+            F.col("doc_id") % 3,
+        ).alias("url"),
+    )
+    return URL.url_dedup(d)
+
+
+SQL_URL_CANONICAL = """
+WITH c AS (SELECT doc_id::BIGINT AS doc_id,
+                  printf('https://example.com/%s/p%d?a=%d&b=2',
+                         source, doc_id % 20, doc_id % 10) AS canonical_url
+           FROM documents),
+g AS (SELECT canonical_url, count(*)::BIGINT AS group_size,
+             min(doc_id) AS keep_doc_id
+      FROM c GROUP BY 1)
+SELECT c.doc_id, c.canonical_url, g.group_size, g.keep_doc_id,
+       c.doc_id <> g.keep_doc_id AS is_dup
+FROM c JOIN g USING (canonical_url)"""
 
 
 def _q_simhash(spark, sf_dir):
@@ -555,6 +616,47 @@ SELECT doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_bigrams,
        round(avg(ln(c12 / c1)), 6) + 0.0 AS avg_logp_r
 FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY doc_id"""
+
+
+def _q_gopher_rules(spark, sf_dir):
+    return TX.gopher_rules(documents(spark, sf_dir))
+
+
+_GSTOPS = ", ".join(f"'{w}'" for w in TX.GOPHER_STOP)
+
+SQL_GOPHER_RULES = f"""
+WITH arr AS (SELECT doc_id,
+                    list_transform(regexp_extract_all(text, '[a-zA-Z]+'), x -> lower(x)) AS t,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+             FROM documents),
+s AS (SELECT doc_id, len(t)::BIGINT AS n_words,
+             coalesce(list_sum(list_transform(t, x -> length(x))), 0)::BIGINT AS tok_chars,
+             len(ws)::BIGINT AS n_ws,
+             len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT AS n_alpha_ws,
+             len(list_distinct(list_filter(t, x -> x IN ({_GSTOPS}))))::BIGINT AS stop_hits,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                  ELSE [] END AS bi
+      FROM arr),
+bic AS (SELECT doc_id, u AS bigram, count(*)::BIGINT AS c
+        FROM (SELECT doc_id, unnest(bi) AS u FROM s) GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c)::BIGINT AS top_bi, sum(c)::BIGINT AS n_bi FROM bic GROUP BY 1)
+SELECT s.doc_id::BIGINT AS doc_id, n_words,
+       round(CASE WHEN n_words > 0 THEN tok_chars::DOUBLE / n_words ELSE 0.0 END, 6) AS mean_word_len,
+       n_ws, n_alpha_ws, stop_hits,
+       coalesce(top_bi, 0)::BIGINT AS top_bi, coalesce(n_bi, 0)::BIGINT AS n_bi,
+       round(CASE WHEN n_words > 0 THEN 2.0 * coalesce(top_bi, 0) / n_words ELSE 0.0 END, 6) AS top_bigram_frac,
+       (n_words >= 50 AND n_words <= 100000) AS pass_words,
+       (n_words > 0 AND 3 * n_words <= tok_chars AND tok_chars <= 10 * n_words) AS pass_wordlen,
+       (5 * n_alpha_ws >= 4 * n_ws) AS pass_alpha,
+       (stop_hits >= 2) AS pass_stop,
+       (10 * coalesce(top_bi, 0) <= n_words) AS pass_rep,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (n_words > 0 AND 3 * n_words <= tok_chars AND tok_chars <= 10 * n_words)
+        AND (5 * n_alpha_ws >= 4 * n_ws)
+        AND (stop_hits >= 2)
+        AND (10 * coalesce(top_bi, 0) <= n_words)) AS keep
+FROM s LEFT JOIN top USING (doc_id)"""
 
 
 def _q_media_meta(spark, sf_dir):
@@ -824,6 +926,42 @@ def _q_resume_slice(spark, sf_dir):
 SQL_RESUME_SLICE = f"""WITH {SQL_TOK}
 SELECT p.term, p.doc_id::BIGINT AS doc_id, p.tf::BIGINT AS tf, d.doclen
 FROM post p JOIN dl d USING (doc_id) WHERE p.term LIKE 'm%'"""
+
+
+def _q_merge_equiv(spark, sf_dir):
+    """I16 merge as a hard-signal row (reference repo.merge() role,
+    term-index/term-index.cpp:94-101): build two independent indexes over
+    the doc_id parity halves, merge them, and return the 's*' term-bucket
+    postings PLUS the merged global stats (docN, avgdl) as constant
+    columns — the merge must re-derive both from the union, and the
+    postings must neither lose nor duplicate rows vs a straight
+    single-build oracle."""
+    from .plans.build import merge_indexes
+
+    corpus = documents(spark, sf_dir).select(
+        F.format_string("https://testdata.local/doc%010d", F.col("doc_id")).alias("url"),
+        "text",
+        "doc_id",
+    )
+    ia = build_index(spark, corpus.where(F.col("doc_id") % 2 == 0), id_col="doc_id")
+    ib = build_index(spark, corpus.where(F.col("doc_id") % 2 == 1), id_col="doc_id")
+    m = merge_indexes(ia, ib)
+    return m.postings.where(F.col("term").startswith("s")).select(
+        "term",
+        F.col("doc_id").cast("long"),
+        F.col("tf").cast("long"),
+        F.col("doclen").cast("long"),
+        F.lit(int(m.docN)).cast("long").alias("docN"),
+        (F.round(F.lit(float(m.avgdl)), 6) + F.lit(0.0)).alias("avgdl"),
+    )
+
+
+SQL_MERGE_EQUIV = f"""WITH {SQL_TOK},
+gs AS (SELECT (SELECT count(*) FROM dl)::BIGINT AS docN,
+              (SELECT round(avg(doclen), 6) + 0.0 FROM dl) AS avgdl)
+SELECT p.term, p.doc_id::BIGINT AS doc_id, p.tf::BIGINT AS tf, d.doclen,
+       gs.docN, gs.avgdl
+FROM post p JOIN dl d USING (doc_id) CROSS JOIN gs WHERE p.term LIKE 's%'"""
 
 
 def _q_rel_pricing(spark, sf_dir):
@@ -1388,11 +1526,14 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
         _bm25_sql(["merge", "join"], "or"),
     ),
     "ft_resume_slice": (_q_resume_slice, SQL_RESUME_SLICE),
+    "ft_merge_equiv": (_q_merge_equiv, SQL_MERGE_EQUIV),
     # --- dedup suite ---
     "dd_exact": (_q_exact_dedup, SQL_EXACT_DEDUP),
     "dd_ngram_jaccard": (_q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dd_minhash_sig": (_q_minhash_sig, SQL_MINHASH_SIG),
     "dd_minhash_lsh": (_q_minhash_lsh, SQL_MINHASH_LSH),
+    "dd_dup_groups": (_q_dup_groups, SQL_DUP_GROUPS),
+    "dd_url_canonical": (_q_url_canonical, SQL_URL_CANONICAL),
     "dd_simhash": (_q_simhash, _sql_simhash()),
     "dd_embedding_neardup": (_q_embedding_neardup, SQL_EMB_NEARDUP),
     "dd_embedding_neardup_lsh": (_q_embedding_neardup_lsh, SQL_EMB_NEARDUP_LSH),
@@ -1407,6 +1548,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tx_token_count": (_q_token_count, SQL_TOKEN_COUNT),
     "tx_fingerprint": (_q_fingerprint, SQL_FINGERPRINT),
     "tx_bigram_lm": (_q_bigram_lm, SQL_BIGRAM_LM),
+    "tx_gopher_rules": (_q_gopher_rules, SQL_GOPHER_RULES),
     # --- multimodal plumbing ---
     "mm_media_meta": (_q_media_meta, SQL_MEDIA_META),
     "mm_features_stub": (_q_media_features, _sql_media_features()),

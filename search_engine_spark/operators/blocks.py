@@ -231,3 +231,63 @@ def unpack_blocks(blocks: DataFrame, with_positions: bool = True) -> DataFrame:
 def block_meta(blocks: DataFrame) -> DataFrame:
     """Metadata-only projection used for WAND pruning / block skipping."""
     return blocks.select("term", "first_doc_id", "last_doc_id", "n", "block_max_tfn")
+
+
+def reencode_pos_vb(rows: DataFrame) -> DataFrame:
+    """Decoded posting view (term, doc_id, tf, doclen, positions:array<int>)
+    -> the pack-input shape (INVERT_SCHEMA: doc_id, term, tf, pos_vb,
+    doclen) with positions re-encoded as one varbyte stream per row.
+
+    The inverse of :func:`unpack_blocks`' position decode; used by index
+    MERGE, which unions two decoded posting views and must feed
+    :func:`pack_blocks` (whose kernel consumes pre-encoded ``pos_vb``
+    bytes). Arrow-batched: ONE vb_encode over the batch's flat position
+    values, per-row byte offsets from vectorized per-value lengths — no
+    per-row Python.
+    """
+    from ..functions.tokenizer import INVERT_SCHEMA
+
+    def reenc(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("term", pa.string()),
+                ("tf", pa.int32()),
+                ("pos_vb", pa.binary()),
+                ("doclen", pa.int32()),
+            ]
+        )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+            pos = col["positions"]
+            flat = pos.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+            row_lens = pc.list_value_length(pos).to_numpy().astype(np.int64)
+            pos_bytes = codec.vb_encode(flat)
+            blens = codec.vb_lengths(flat)
+            val_off = np.zeros(len(row_lens) + 1, dtype=np.int64)
+            np.cumsum(row_lens, out=val_off[1:])
+            byte_cum = np.zeros(len(flat) + 1, dtype=np.int64)
+            np.cumsum(blens, out=byte_cum[1:])
+            entry_byte_off = byte_cum[val_off].astype(np.int32)
+            pos_vb = pa.Array.from_buffers(
+                pa.binary(),
+                batch.num_rows,
+                [None, pa.py_buffer(entry_byte_off.tobytes()), pa.py_buffer(pos_bytes)],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(col["doc_id"], pa.int64()),
+                    pc.cast(col["term"], pa.string()),
+                    pc.cast(col["tf"], pa.int32()),
+                    pos_vb,
+                    pc.cast(col["doclen"], pa.int32()),
+                ],
+                schema=out_schema,
+            )
+
+    return rows.mapInArrow(reenc, INVERT_SCHEMA)

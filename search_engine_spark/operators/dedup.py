@@ -350,3 +350,62 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFram
         .where(F.col("_c") >= threshold)
         .select("vec_a", "vec_b", (F.round("_c", 6) + F.lit(0.0)).alias("cos"))
     )
+
+
+def dup_groups(docs: DataFrame, pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate GROUPS: connected components
+    via iterative min-label propagation; canonical keeper = min doc_id.
+
+    (doc_id, component, group_size, is_dup) — ``component`` doubles as the
+    keeper id (labels start as doc_ids; only the min survives propagation).
+
+    This is the step a training-data pipeline needs after candidate
+    generation: LSH/Jaccard emit PAIRS, and deleting one doc per pair
+    over-deletes when dups chain A-B-C. Scale shape: each round is one
+    shuffle join (edges x labels) + one combinable min-aggregate; rounds
+    needed = component diameter, which for near-dup clusters (band-bucket
+    near-cliques) is 2-4. The convergence probe is a count() aggregate —
+    no row data ever reaches the driver. For adversarial long-path graphs
+    swap in alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same join shape, O(log^2 n)
+    rounds; unnecessary for dup clusters.
+    """
+    nodes = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    e = pairs.select(
+        F.col("doc_a").cast("long").alias("src"), F.col("doc_b").cast("long").alias("dst")
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component")).persist()
+    labels.count()
+    for _ in range(max_iters):
+        nbr = edges.join(
+            labels.select(F.col("doc_id").alias("src"), "component"), "src"
+        ).select(F.col("dst").alias("doc_id"), "component")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("component", "_old"), "doc_id")
+            .where(F.col("component") < F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    grp = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    out = labels.join(grp, "component").select(
+        "doc_id",
+        "component",
+        "group_size",
+        (F.col("doc_id") != F.col("component")).alias("is_dup"),
+    )
+    return _with_cached_inputs(out, [labels, *getattr(pairs, "_cached_inputs", [])])

@@ -160,3 +160,104 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         (F.round(F.avg("lp"), 6) + F.lit(0.0)).alias("avg_logp_r"),
     )
+
+
+# the 8 Gopher "stop words" used by the minimum-stop-word rule
+# (Rae et al. 2021, "Scaling Language Models: Methods, Analysis & Insights
+# from Training Gopher", Appendix A1.1)
+GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style document quality filter rules, adapted to the
+    letter-run tokenizer (same character class as the index lexer):
+
+    - word count in [50, 100000];
+    - mean word length in [3, 10];
+    - >= 80% of whitespace-split words contain an alphabetic character;
+    - >= 2 distinct words from the 8-word Gopher stop list;
+    - <= 20% of tokens covered by the single most frequent bigram
+      (the repetition rule, token-fraction adaptation of Gopher's
+      most-common-2-gram character fraction).
+
+    Every threshold evaluates in INTEGER arithmetic (e.g. mean length in
+    [3,10] <=> 3*n <= chars <= 10*n), so the booleans cannot flake on
+    float rounding across engines. The bigram top-count goes through an
+    explode + two combinable groupBys keyed by doc_id — never a per-doc
+    quadratic expression — so a 100k-token document costs O(tokens), and
+    everything else is whole-stage-codegen column expressions.
+
+    (doc_id, n_words, mean_word_len, n_ws, n_alpha_ws, stop_hits, top_bi,
+     n_bi, top_bigram_frac, pass_words, pass_wordlen, pass_alpha,
+     pass_stop, pass_rep, keep)
+    """
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOP)
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr(f"transform({TOKS}, x -> lower(x))").alias("t"),
+        F.expr("size(filter(split(text, ' '), x -> x != ''))").cast("long").alias("n_ws"),
+        F.expr("size(filter(split(text, ' '), x -> x rlike '[A-Za-z]'))")
+        .cast("long")
+        .alias("n_alpha_ws"),
+    )
+    per_doc = base.select(
+        "doc_id",
+        "n_ws",
+        "n_alpha_ws",
+        F.expr("size(t)").cast("long").alias("n_words"),
+        F.expr("aggregate(t, 0L, (a, x) -> a + length(x))").alias("tok_chars"),
+        F.expr(f"size(array_distinct(filter(t, x -> x in ({stop_list}))))")
+        .cast("long")
+        .alias("stop_hits"),
+        F.expr(
+            "CASE WHEN size(t) >= 2"
+            " THEN transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
+            " ELSE cast(array() as array<string>) END"
+        ).alias("bi"),
+    ).persist()
+    top = (
+        per_doc.select("doc_id", F.explode("bi").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_bi"), F.sum("c").cast("long").alias("n_bi"))
+    )
+    out = per_doc.drop("bi").join(top, "doc_id", "left").fillna({"top_bi": 0, "n_bi": 0})
+    nw = F.col("n_words")
+    res = out.select(
+        "doc_id",
+        "n_words",
+        F.round(F.when(nw > 0, F.col("tok_chars") / nw).otherwise(0.0), 6).alias(
+            "mean_word_len"
+        ),
+        "n_ws",
+        "n_alpha_ws",
+        "stop_hits",
+        "top_bi",
+        "n_bi",
+        F.round(F.when(nw > 0, 2 * F.col("top_bi") / nw).otherwise(0.0), 6).alias(
+            "top_bigram_frac"
+        ),
+        ((nw >= 50) & (nw <= 100000)).alias("pass_words"),
+        (
+            (nw > 0)
+            & (3 * nw <= F.col("tok_chars"))
+            & (F.col("tok_chars") <= 10 * nw)
+        ).alias("pass_wordlen"),
+        (5 * F.col("n_alpha_ws") >= 4 * F.col("n_ws")).alias("pass_alpha"),
+        (F.col("stop_hits") >= 2).alias("pass_stop"),
+        (10 * F.col("top_bi") <= nw).alias("pass_rep"),
+    )
+    res = res.withColumn(
+        "keep",
+        F.col("pass_words")
+        & F.col("pass_wordlen")
+        & F.col("pass_alpha")
+        & F.col("pass_stop")
+        & F.col("pass_rep"),
+    )
+    # per_doc feeds two plan branches (bigram explode + final join); expose
+    # the persisted handle so long-lived callers can release it (the same
+    # contract as dedup._with_cached_inputs / dedup.release)
+    res._cached_inputs = [per_doc]
+    return res

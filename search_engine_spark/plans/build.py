@@ -153,3 +153,60 @@ def load_index(spark: SparkSession, path: str, with_row_postings: bool = False) 
         avgdl=float(stats["avgdl"]),
         doc_blocks=doc_blocks,
     )
+
+
+def merge_indexes(
+    left: InvertedIndex,
+    right: InvertedIndex,
+    block: int = DEFAULT_BLOCK,
+    persist: bool = True,
+    validate: bool = True,
+) -> InvertedIndex:
+    """Merge two indexes built over DISJOINT docID sets into one.
+
+    The reference's ``repo.write(); repo.merge()`` maintain step
+    (indexer/index.c:188-196, term-index/term-index.cpp:94-101) folds an
+    in-memory Indri segment into the on-disk repository; the set-oriented
+    twin is: union the decoded posting rows and REBUILD every global
+    derivative. A merge is NOT just a union — docN/avgdl change, df/cf
+    re-aggregate across both sides, and the per-block max-BM25 metadata
+    baked into the packed blocks depends on the merged avgdl, so blocks
+    are repacked. Scale: one union + the standard pack shuffle; no driver
+    data movement.
+
+    ``validate``: assert docID disjointness with a semi-join probe (one
+    tiny job; disable on trusted inputs at scale).
+    """
+    if validate:
+        overlap = (
+            left.doc_meta.select("doc_id")
+            .join(right.doc_meta.select("doc_id"), "doc_id", "left_semi")
+            .limit(1)
+            .count()
+        )
+        if overlap:
+            raise ValueError("merge_indexes: docID sets overlap")
+    from ..operators.blocks import reencode_pos_vb, unpack_blocks
+
+    cols = ["term", "doc_id", "tf", "doclen", "positions"]
+    rows = reencode_pos_vb(
+        left.postings.select(*cols).unionByName(right.postings.select(*cols))
+    )
+    dmeta = left.doc_meta.unionByName(right.doc_meta.select(*left.doc_meta.columns))
+    if persist:
+        rows = rows.persist()
+        dmeta = dmeta.persist()
+    stats = P.collection_stats(dmeta)
+    tstats = P.term_stats(rows.select("term", "doc_id", "tf"))
+    doc_blocks = pack_blocks(rows, stats["avgdl"], block=block, layout="doc")
+
+    return InvertedIndex(
+        postings=unpack_blocks(doc_blocks),
+        blocks=doc_blocks,
+        doc_meta=dmeta,
+        term_stats=tstats,
+        docstore=left.docstore.unionByName(right.docstore),
+        docN=stats["docN"],
+        avgdl=stats["avgdl"],
+        doc_blocks=doc_blocks,
+    )
