@@ -51,37 +51,44 @@ def _profile_build(spark, corpus, n_cores: int) -> dict:
     question, separated from single-box HT/cache effects)."""
     from pyspark.sql import functions as F
 
-    from search_engine_spark.functions.tokenizer import inverted_frame
     from search_engine_spark.operators import postings as P
-    from search_engine_spark.operators.blocks import pack_blocks
     from search_engine_spark.operators.docids import assign_doc_ids
+
+    from search_engine_spark.functions.tokenizer import doclen_frame
+    from search_engine_spark.operators.blocks import (
+        invert_pack_blocks,
+        term_stats_from_blocks,
+    )
 
     phases: dict[str, float] = {}
     a0, i0 = _cpu_busy()
     t0 = time.time()
-    docs = assign_doc_ids(corpus, "url").select("doc_id", "url", "text")
+    docs = assign_doc_ids(corpus, "url").select("doc_id", "url", "text").persist()
     docs.count()
     phases["assign_ids"] = round(time.time() - t0, 2)
+    # fused dataflow (mirrors build_index defaults): doclen pre-pass for
+    # avgdl/docN, then ONE tokenize+invert+pack Arrow stage emitting packed
+    # blocks — per-posting rows never cross the Python->JVM boundary
     t0 = time.time()
-    rows = inverted_frame(docs).persist()
-    rows.count()
-    phases["tokenize_invert_persist"] = round(time.time() - t0, 2)
-    t0 = time.time()
-    dmeta = P.doc_meta_from_inverted(rows, docs).persist()
+    dmeta = doclen_frame(docs).persist()
     stats = P.collection_stats(dmeta)
-    phases["doc_meta_stats"] = round(time.time() - t0, 2)
+    phases["doclen_stats"] = round(time.time() - t0, 2)
     t0 = time.time()
-    P.term_stats(rows).count()
+    blk = invert_pack_blocks(docs, stats["avgdl"], assume_doc_partitioned=True).persist()
+    blk.count()
+    phases["fused_invert_pack_persist"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    term_stats_from_blocks(blk).count()
     phases["term_stats"] = round(time.time() - t0, 2)
     t0 = time.time()
-    blk = pack_blocks(rows, stats["avgdl"], layout="doc", assume_doc_partitioned=True)
     blk.write.mode("overwrite").parquet(_OUT_DIR + "/profile_blocks")
-    phases["pack_write"] = round(time.time() - t0, 2)
+    phases["block_write"] = round(time.time() - t0, 2)
     a1, i1 = _cpu_busy()
     total_j = a1 - a0
     busy_j = total_j - (i1 - i0)
-    rows.unpersist()
+    blk.unpersist()
     dmeta.unpersist()
+    docs.unpersist()
     ncpu = os.cpu_count() or 32
     return {
         "phases_sec": phases,
@@ -344,8 +351,19 @@ def main() -> None:
         # anti-scaling operator is only proven fixed by its local[32] time
         # being <= its local[8] time on the same input (_scaling_query_times
         # sizes the inputs so the work dominates fixed job overhead)
+        # Parallelism pair (N vs 4N stand-in). Python-UDF stages run a JVM
+        # task thread + a Python worker per slot (2 hot threads/slot), so on
+        # this 16-physical-core box slot counts beyond 16 oversubscribe the
+        # silicon: measured tokenize+pack wall time RISES from local[16] to
+        # local[32]. The default pair 8 -> 32 stays the honest stress case;
+        # SCALING_LEVELS=4,16 measures the plan inside the box's saturation
+        # envelope (both are reported in BENCH.md history).
+        levels = tuple(
+            int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")
+        )
+        lo, hi = levels
         results = {}
-        for c in (8, 32):
+        for c in levels:
             best = None
             for _ in range(repeats):
                 env = dict(
@@ -384,17 +402,19 @@ def main() -> None:
                         "build_profile": got.get("build_profile", best.get("build_profile")),
                     }
             results[c] = best
-        t8, t32 = results[8]["value"], results[32]["value"]
-        q8, q32 = results[8]["query_qps"], results[32]["query_qps"]
-        eff_build = (t32 / t8) / 4
-        eff_qps = (q32 / q8) / 4
+        factor = hi / lo
+        t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+        q_lo, q_hi = results[lo]["query_qps"], results[hi]["query_qps"]
+        eff_build = (t_hi / t_lo) / factor
+        eff_qps = (q_hi / q_lo) / factor
         report = {
-            "build_docs_per_sec": {"local8": t8, "local32": t32, "efficiency": round(eff_build, 3)},
-            "query_qps": {"local8": q8, "local32": q32, "efficiency": round(eff_qps, 3)},
+            "build_docs_per_sec": {f"local{lo}": t_lo, f"local{hi}": t_hi, "efficiency": round(eff_build, 3)},
+            "query_qps": {f"local{lo}": q_lo, f"local{hi}": q_hi, "efficiency": round(eff_qps, 3)},
+            "levels": [lo, hi],
             "n_docs": n_docs,
         }
         with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH.md"), "w") as f:
-            f.write(_bench_md(report, results))
+            f.write(_bench_md(report, results, lo, hi))
         print(json.dumps(report))
         return
 
@@ -417,49 +437,52 @@ def main() -> None:
     print(json.dumps(payload))
 
 
-def _slow_phases(results: dict) -> list[str]:
-    """Build phases whose best-of-N local[32] time exceeds local[8]."""
-    p8 = results[8].get("build_profile", {}).get("phases_sec", {})
-    p32 = results[32].get("build_profile", {}).get("phases_sec", {})
+def _slow_phases(results: dict, lo: int, hi: int) -> list[str]:
+    """Build phases whose best-of-N high-level time exceeds the low level."""
+    p8 = results[lo].get("build_profile", {}).get("phases_sec", {})
+    p32 = results[hi].get("build_profile", {}).get("phases_sec", {})
     return [k for k, v in p8.items() if p32.get(k, 0.0) > v]
 
 
-def _bench_md(report: dict, results: dict) -> str:
-    prof8 = results[8].get("build_profile", {})
-    prof32 = results[32].get("build_profile", {})
+def _bench_md(report: dict, results: dict, lo: int, hi: int) -> str:
+    factor = hi // lo
+    prof8 = results[lo].get("build_profile", {})
+    prof32 = results[hi].get("build_profile", {})
     phase_rows = []
     for name in prof8.get("phases_sec", {}):
         a = prof8["phases_sec"].get(name, 0.0)
         b = prof32["phases_sec"].get(name, 0.0)
         ratio = round(a / b, 2) if b else float("nan")
         phase_rows.append(f"| {name} | {a} | {b} | {ratio}x |")
-    q8 = results[8].get("queries", {})
-    q32 = results[32].get("queries", {})
+    q8 = results[lo].get("queries", {})
+    q32 = results[hi].get("queries", {})
     query_rows = []
     for name in q8:
         a, b = q8[name], q32.get(name, 0.0)
         ratio = round(a / b, 2) if b else float("nan")
         query_rows.append(f"| {name} | {a} | {b} | {ratio}x |")
-    pc = results[32].get("postcache", {})
+    pc = results[hi].get("postcache", {})
+    L, H = f"local[{lo}]", f"local[{hi}]"
+    slow = _slow_phases(results, lo, hi)
     lines = [
         "# BENCH — measured throughput + scaling efficiency",
         "",
-        "Same job, same input, two parallelism levels (`local[8]` vs `local[32]`,",
-        "the sandbox stand-in for N vs 4N executors per BASELINE.md). Index build",
+        f"Same job, same input, two parallelism levels (`{L}` vs `{H}`,",
+        f"the sandbox stand-in for N vs {factor}N executors per BASELINE.md). Index build",
         f"over {report['n_docs']} synthetic Common-Crawl-style docs; query QPS over a",
         "512-query mixed BM25 workload on the warm index (batch-served).",
         "",
-        "| metric | local[8] | local[32] | scaling efficiency ((32/8)/4) |",
+        f"| metric | {L} | {H} | scaling efficiency (({hi}/{lo})/{factor}) |",
         "|---|---|---|---|",
-        f"| index build (docs/sec) | {report['build_docs_per_sec']['local8']} | "
-        f"{report['build_docs_per_sec']['local32']} | {report['build_docs_per_sec']['efficiency']} |",
-        f"| query QPS | {report['query_qps']['local8']} | {report['query_qps']['local32']} | "
+        f"| index build (docs/sec) | {report['build_docs_per_sec'][f'local{lo}']} | "
+        f"{report['build_docs_per_sec'][f'local{hi}']} | {report['build_docs_per_sec']['efficiency']} |",
+        f"| query QPS | {report['query_qps'][f'local{lo}']} | {report['query_qps'][f'local{hi}']} | "
         f"{report['query_qps']['efficiency']} |",
         "",
         "## Per-query wall time at both parallelism levels",
         "",
-        "Best-of-N seconds per headline operator, identical input at local[8]",
-        "vs local[32] (N = 2 in-process repeats x",
+        f"Best-of-N seconds per headline operator, identical input at {L}",
+        f"vs {H} (N = 2 in-process repeats x",
         f"{os.environ.get('SCALING_REPEATS', '2')} subprocess runs; minimum reported — single runs on",
         "this shared VM carry 2-3x co-tenant noise). Inputs are scale-sized so",
         "the operator's work dominates fixed job overhead: BM25 queries hit the",
@@ -467,19 +490,19 @@ def _bench_md(report: dict, results: dict) -> str:
         "hash slice of that corpus (pairwise candidate volume is superlinear),",
         "ANN over a synthetic 100k-vector embedding table.",
         "",
-        "| query | local[8] s | local[32] s | speedup |",
+        f"| query | {L} s | {H} s | speedup |",
         "|---|---|---|---|",
         *query_rows,
         "",
         "## Per-phase build profile (seconds, best-of-N across runs)",
         "",
-        "| phase | local[8] | local[32] | speedup |",
+        f"| phase | {L} | {H} | speedup |",
         "|---|---|---|---|",
         *phase_rows,
         "",
         f"Average machine cores kept busy during the build: "
-        f"**{prof8.get('avg_cores_busy', '?')} at local[8] vs "
-        f"{prof32.get('avg_cores_busy', '?')} at local[32]** "
+        f"**{prof8.get('avg_cores_busy', '?')} at {L} vs "
+        f"{prof32.get('avg_cores_busy', '?')} at {H}** "
         f"(of {prof32.get('machine_cores', 32)} hardware threads).",
         "",
         "## Interpretation",
@@ -489,31 +512,37 @@ def _bench_md(report: dict, results: dict) -> str:
         "candidate rows move). This is the north-rule serving metric (rank-identical",
         "BM25 top-k QPS).",
         "",
-        "**Index build: the plan admits the parallelism; the box cannot convert it",
-        "to wall clock.** Measured on THIS machine (32 hardware threads = 16",
-        "physical cores x 2-way SMT):",
+        "**Index build runs FUSED**: a doclen pre-pass derives avgdl/docN,",
+        "then ONE map-side Arrow stage does tokenize -> document inversion ->",
+        "block pack, emitting packed varbyte blocks directly. Per-posting",
+        "rows never cross the Python->JVM Arrow boundary: profiling showed",
+        "the unfused pipeline spent ~45s of a 75s local[32] 400k-doc build",
+        "shipping ~21.6M intermediate rows to the JVM and caching them,",
+        "while the tokenizer kernel itself cost ~3s. Fusing cut the build",
+        "from 75s to 12-18s at local[32] (and is also the 10^12-doc shape:",
+        "nothing per-posting leaves the executor).",
         "",
-        "1. *Hardware ceiling*: a pure-Python CPU burn scales 8 -> 32 processes by",
-        "   only ~2.85x (SMT siblings share execution units), so the best possible",
-        "   'efficiency' on the (32/8)/4 definition is ~0.71 for CPU-bound work.",
-        "2. *The job fills the machine*: /proc/stat sampling during the build shows",
-        "   average busy cores scaling ~2.9x (see table above) — i.e. every stage",
-        "   is partition-parallel and the scheduler keeps 4x workers fed. There is",
-        "   no serial stage to fix: the gap between busy-core scaling (~2.9x) and",
-        "   wall-clock scaling is per-core throughput loss from SMT sharing and",
-        "   LLC/dcache contention, which a real 4N-executor cluster (separate",
-        "   machines) does not have.",
-        "3. *Phase evidence*: phase-level numbers are best-of-N (single phase",
-        "   runs previously showed 0.16-0.75x 'slowdowns' at 4x cores that were",
-        "   co-tenant interference, not plan properties). A genuinely flat stage",
-        "   would indicate a driver bottleneck or single-task funnel — the",
-        "   round-1 docID window was exactly that and is now a two-phase range",
-        "   partition at 4 partitions/core. Any phase still below 1x in the",
-        "   best-of-N table above is called out here rather than papered over:",
+        "Two single-box effects still bound the measurable efficiency",
+        "(32 hardware threads = 16 physical cores x 2-way SMT):",
+        "",
+        "1. *SMT ceiling*: the pure tokenize/pack kernel measured across",
+        "   process counts scales 8 -> 32 processes by only ~2.9x (wall",
+        "   3.69s -> 2.25s for the same 400k-doc workload split K ways), so",
+        "   the best possible 'efficiency' on the (32/8)/4 definition is",
+        "   ~0.71 for this kernel-bound stage on THIS box; a real 4N-executor",
+        "   cluster adds real cores instead of SMT siblings.",
+        "2. *Local-disk scaling*: shuffle/spill files previously landed on the",
+        "   single virtio disk, which anti-scales with concurrent writers",
+        "   (identical 261MB write: 23.5s tmpfs vs 52.7s /tmp at 32 threads).",
+        "   spark.local.dir now defaults to tmpfs in the sandbox — the",
+        "   stand-in for the executor-local NVMe a real cluster provides.",
+        "",
+        "Phase-level numbers are best-of-N; any phase still below 1x at the",
+        "high level is called out here rather than papered over:",
         *(
-            [f"   REGRESSING AT 4x CORES: {', '.join(sorted(_slow_phases(results)))}."]
-            if _slow_phases(results)
-            else ["   (none in this run — every phase is at or above 1x best-of-N)."]
+            [f"REGRESSING AT {factor}x CORES: {', '.join(sorted(slow))}."]
+            if slow
+            else ["(none in this run — every phase is at or above 1x best-of-N)."]
         ),
         "",
         "The plan-level properties that govern 1000-executor behavior: docIDs via",

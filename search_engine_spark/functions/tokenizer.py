@@ -275,3 +275,35 @@ def inverted_frame(docs, tf_cap: int = 2048, text_col: str = "text"):
             yield out
 
     return docs.select("doc_id", text_col).mapInArrow(invert, INVERT_SCHEMA)
+
+
+def doclen_frame(docs, text_col: str = "text"):
+    """(doc_id, doclen) in one cheap narrow Arrow pass over the corpus.
+
+    The pre-pass that gives the fused build avgdl/docN BEFORE block packing
+    (per-block max-score metadata needs the collection avgdl, so a fully
+    fused single pass cannot exist). Output is one tiny row per document —
+    the pass costs input serialization + the tokenizer kernel only
+    (measured ~3s for 400k docs at local[32], vs ~26s when the full
+    inverted rows cross the Arrow boundary).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        schema = pa.schema([("doc_id", pa.int64()), ("doclen", pa.int32())])
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            texts = batch.column(1).to_pylist()
+            dl = np.fromiter(
+                (len(tokenize_text(t)) if isinstance(t, str) else 0 for t in texts),
+                dtype=np.int32,
+                count=len(texts),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0).cast(pa.int64()), pa.array(dl, type=pa.int32())],
+                schema=schema,
+            )
+
+    return docs.select("doc_id", text_col).mapInArrow(kernel, "doc_id long, doclen int")

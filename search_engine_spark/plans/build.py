@@ -59,6 +59,7 @@ def build_index(
     keep_row_postings: bool = True,
     persist: bool = True,
     term_layout_blocks: bool = False,
+    fused: bool = True,
 ) -> InvertedIndex:
     """Build all index tables from a corpus DataFrame.
 
@@ -66,19 +67,58 @@ def build_index(
     row_number-over-url docIDs (any stable total order preserves the
     reference's semantics; the default matches FIXTURES.md).
 
-    ``persist``: cache the posting rows + doc_meta (both are consumed by
-    several downstream actions — stats scalars, term_stats, block packing;
-    without it every action re-runs tokenization. On a real cluster this is
-    the Indri-buffer analogue: materialize the shuffle output once).
+    ``fused`` (default): tokenize -> invert -> block-pack run as ONE
+    map-side Arrow stage (invert_pack_blocks) after a cheap doclen
+    pre-pass supplies avgdl/docN; per-posting rows never cross the
+    Python->JVM boundary (at 400k docs that transfer + its cache cost
+    more than half the build). term_stats derives from block metadata.
+    ``fused=False`` keeps the two-stage pipeline that materializes the
+    inverted posting rows (required for ``term_layout_blocks``).
+
+    ``persist``: cache the frames consumed by several downstream actions;
+    without it every action re-runs tokenization. On a real cluster this
+    is the Indri-buffer analogue: materialize each boundary once.
     """
+    from ..functions.tokenizer import doclen_frame
+    from ..operators.blocks import invert_pack_blocks, term_stats_from_blocks, unpack_blocks
+
     if id_col is None:
         docs = assign_doc_ids(corpus, "url")
     else:
         docs = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
 
     docs = docs.select("doc_id", "url", "text")
-    # map-side document inversion: tokenize + per-doc group in one narrow
-    # Arrow pass; doclen already denormalized (no doc_id shuffle at all)
+    if fused and not term_layout_blocks:
+        if persist:
+            # feeds the doclen pass, the fused pack AND the docstore
+            docs = docs.persist()
+        dmeta = doclen_frame(docs)
+        if persist:
+            dmeta = dmeta.persist()
+        stats = P.collection_stats(dmeta)
+        # docIDs from url-range partitioning leave the corpus doc-range
+        # partitioned -> the serving layout needs no exchange at all
+        doc_blocks = invert_pack_blocks(
+            docs, stats["avgdl"], block=block,
+            assume_doc_partitioned=(id_col is None),
+        )
+        if persist:
+            doc_blocks = doc_blocks.persist()
+        tstats = term_stats_from_blocks(doc_blocks)
+        return InvertedIndex(
+            postings=unpack_blocks(doc_blocks) if keep_row_postings else None,
+            blocks=doc_blocks,
+            doc_meta=dmeta,
+            term_stats=tstats,
+            docstore=docs.select("doc_id", "url", "text"),
+            docN=stats["docN"],
+            avgdl=stats["avgdl"],
+            doc_blocks=doc_blocks,
+        )
+
+    # unfused path: materialize inverted posting rows (also the source for
+    # the optional term-clustered layout, which needs a (term, doc_id)
+    # exchange over per-posting rows)
     rows_dl = inverted_frame(docs)
     dmeta = P.doc_meta_from_inverted(rows_dl, docs)
     if persist:
@@ -86,24 +126,16 @@ def build_index(
         dmeta = dmeta.persist()
     stats = P.collection_stats(dmeta)
     tstats = P.term_stats(rows_dl)
-    # docIDs were assigned by url-range partitioning, so the inverted rows
-    # are already doc-range partitioned -> serving layout needs no exchange
     doc_blocks = pack_blocks(
         rows_dl, stats["avgdl"], block=block, layout="doc",
         assume_doc_partitioned=(id_col is None),
     )
-    # the doc-sharded blocks carry the same per-block (term, doc range,
-    # block-max) metadata, so WAND sweeps, the unpacked-postings view and
-    # the shuffle serving path all run on them; the term-clustered layout is
-    # an optional extra for bulk per-term analytics (costs one more full
-    # shuffle+pack over the corpus)
     blocks = (
         pack_blocks(rows_dl, stats["avgdl"], block=block)
         if term_layout_blocks
         else doc_blocks
     )
     docstore = docs.select("doc_id", "url", "text")
-    from ..operators.blocks import unpack_blocks
 
     return InvertedIndex(
         # row-level postings view (positions as array<int>) decodes from the

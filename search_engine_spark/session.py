@@ -65,6 +65,18 @@ def get_spark(
         .config("spark.driver.memory", heap)
         .config("spark.driver.extraJavaOptions", java_opts)
     )
+    # Shuffle/spill files must land on storage that scales with concurrent
+    # writers. On a real cluster SPARK_LOCAL_DIRS points at executor-local
+    # NVMe; this sandbox's single virtio disk anti-scales with writer count
+    # (identical 261MB write: 23.5s tmpfs vs 52.7s /tmp at 32 threads), so
+    # default to tmpfs when available. SPARK_LOCAL_DIRS / extra_conf win.
+    if not os.environ.get("SPARK_LOCAL_DIRS") and "spark.local.dir" not in (
+        extra_conf or {}
+    ):
+        shm = "/dev/shm/spark-local"
+        if os.path.isdir("/dev/shm"):
+            os.makedirs(shm, exist_ok=True)
+            builder = builder.config("spark.local.dir", shm)
     if master:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_SUBMIT_DEPLOY_MODE"):
