@@ -490,6 +490,12 @@ def _bench_md(report: dict, results: dict, lo: int, hi: int) -> str:
         "hash slice of that corpus (pairwise candidate volume is superlinear),",
         "ANN over a synthetic 100k-vector embedding table.",
         "",
+        "The ft_bm25_* rows are SINGLE-query latency: one query fans out to",
+        "4 tasks/core shards, so more cores = more (tiny) tasks per query and",
+        "scheduling overhead can dominate — the classic latency/throughput",
+        "trade. The north-rule serving metric is the batched QPS row above,",
+        "where concurrent queries share each shard pass.",
+        "",
         f"| query | {L} s | {H} s | speedup |",
         "|---|---|---|---|",
         *query_rows,

@@ -33,6 +33,10 @@ class PostingCache:
     budget_bytes: int
     bytes_used: int
     n_hot_terms: int
+    # broadcast in-memory pool: shard partition id -> pandas frame of that
+    # shard's hot block rows (the postcache_pool twin; see served_blocks)
+    hot_pool_bc: object = None
+    n_shards: int = 0
 
 
 def _block_bytes() -> F.Column:
@@ -66,18 +70,45 @@ def build_posting_cache(index, budget_bytes: int = DEFAULT_BUDGET) -> PostingCac
     ).collect()[0]
     hot_blocks = blocks.join(F.broadcast(hot_terms.select("term")), "term").persist()
     hot_blocks.count()
+    # Materialize the hot rows into a BROADCAST pool keyed by the shard
+    # partition id they came from. This is the reference's in-memory pool
+    # (postcache_fork_term_posting): bounded by the byte budget, shipped to
+    # every executor once, and merged back into the owning shard's kernel
+    # at query time — the doc-sharded serving kernel requires every block
+    # of a given doc in ONE shard, so a term-keyed union of hot and cold
+    # frames (two different partitionings) would split a doc across shards
+    # and mis-score any query mixing hot and cold terms. Keying by
+    # spark_partition_id is stable because the parent frame is either
+    # persisted (fixed partitions) or a parquet scan (deterministic split
+    # planning for the same files + conf).
+    stamped = blocks.withColumn("_shard", F.spark_partition_id()).join(
+        F.broadcast(hot_terms.select("term")), "term"
+    )
+    pool_pdf = stamped.toPandas()
+    hot_pool = {
+        int(s): g.drop(columns=["_shard"]).reset_index(drop=True)
+        for s, g in pool_pdf.groupby("_shard")
+    }
+    sc = blocks.sparkSession.sparkContext
     return PostingCache(
         hot_terms=hot_terms,
         hot_blocks=hot_blocks,
         budget_bytes=budget_bytes,
         bytes_used=int(stats["b"]),
         n_hot_terms=int(stats["n"]),
+        hot_pool_bc=sc.broadcast(hot_pool),
+        n_shards=blocks.rdd.getNumPartitions(),
     )
 
 
 def served_blocks(index, cache: PostingCache) -> DataFrame:
-    """The serving view: cached hot blocks unioned with cold blocks read
-    from the store (search.c's cached-vs-on-disk posting split)."""
+    """The serving view (search.c's cached-vs-on-disk posting split):
+    COLD blocks stream from the store with the hot terms filtered out
+    (narrow plan — the shard partitioning of the parent is preserved);
+    the HOT rows ride along as the broadcast pool tagged on the frame,
+    which the shard kernel merges back into the owning shard. The result
+    plugs into InvertedIndex.doc_blocks unchanged."""
     blocks = index.doc_blocks if index.doc_blocks is not None else index.blocks
     cold = blocks.join(F.broadcast(cache.hot_terms.select("term")), "term", "left_anti")
-    return cache.hot_blocks.unionByName(cold)
+    cold._postcache_hot_pool = cache.hot_pool_bc
+    return cold

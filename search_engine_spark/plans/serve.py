@@ -505,6 +505,12 @@ def shard_search(
     all_terms = sorted({t for kws, _ in queries.values() for _, t, _ in kws})
     if not all_terms:
         return spark.createDataFrame([], "qid string, rank int, " + _OUT_SCHEMA[12:])
+    # posting-cache pool (plans/cache.py): hot block rows live in a
+    # broadcast keyed by shard partition id; the cold frame preserves the
+    # parent's doc-sharded partitioning, so merging the pool back inside
+    # the owning shard keeps every doc's blocks in ONE kernel invocation
+    hot_pool = getattr(index.doc_blocks, "_postcache_hot_pool", None)
+    term_set = set(all_terms)
     blocks = index.doc_blocks.filter(F.col("term").isin(all_terms))
     avgdl = index.avgdl
     qitems = [(qid, kws, mode) for qid, (kws, mode) in queries.items()]
@@ -526,6 +532,17 @@ def shard_search(
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if hot_pool is not None:
+            from itertools import chain
+
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            h = hot_pool.value.get(ctx.partitionId()) if ctx is not None else None
+            if h is not None:
+                h = h[h["term"].isin(term_set)]
+                if len(h):
+                    batches = chain([h], batches)
         if prune:
             frames = [
                 _frame(qid, res)
