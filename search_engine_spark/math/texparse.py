@@ -49,7 +49,7 @@ _IGNORED_CMDS = {"left", "right", "big", "Big", "bigg", "Bigg", "limits", "nolim
 _ACCENTS = "vec hat bar dot ddot tilde overline underline widehat widetilde".split()
 
 _TOKEN_RE = re.compile(
-    r"\\\\|\\[a-zA-Z]+|\\[,;! ]|[0-9]+(?:\.[0-9]+)?|[a-zA-Z]|[+\-*/^_=<>(){}\[\]!|,&']|\S"
+    r"\\\\|\\[a-zA-Z]+|\\[,;!{}| ]|[0-9]+(?:\.[0-9]+)?|[a-zA-Z]|[+\-*/^_=<>(){}\[\]!|,&']|\S"
 )
 
 
@@ -224,7 +224,7 @@ class _Parser:
                 # '\labs' (preprocessed \left|) is unambiguous — always an
                 # opener — so 2\left|x\right| parses as juxtaposition
                 # (multiplication), unlike bare '|' which stays excluded
-                or name == "labs"
+                or name in ("labs", "lfloor", "lceil")
                 or name in _IGNORED_CMDS
             )
         return False
@@ -257,10 +257,14 @@ class _Parser:
     def _parse_base_inner(self) -> Node:
         t = self.next()
         if t == "(":
-            inner = self.parse_rel()
+            items = [self.parse_rel()]
+            while self.peek() == ",":
+                # tuple/set comma list inside a bracket class -> SEP group
+                self.next()
+                items.append(self.parse_rel())
             if self.peek() == ")":
                 self.next()
-            return inner
+            return items[0] if len(items) == 1 else Node("sep", children=items)
         if t == "{":
             inner = self.parse_rel()
             if self.peek() == "}":
@@ -287,6 +291,16 @@ class _Parser:
             if name == "rabs":
                 # dangling \right| = evaluation bar; scripts attach normally
                 return Node("var", sym="evalbar")
+            if name in ("lfloor", "lceil"):
+                # \lfloor x \rfloor -> floor(x) (bracket class with an
+                # operator meaning, like the reference's floor/ceil tokens)
+                fn = "floor" if name == "lfloor" else "ceil"
+                inner = self.parse_rel()
+                if self.peek() in ("\\rfloor", "\\rceil"):
+                    self.next()
+                return Node("fun", children=[Node("var", sym=f"fun:{fn}"), inner])
+            if name in ("rfloor", "rceil"):
+                return Node("var", sym=name)
             if name in _GREEK:
                 return Node("var", sym=name)
             if name == "qvar":
@@ -394,6 +408,16 @@ def _preprocess(toks: list[str]) -> list[str]:
     delimiters become distinct abs-open/abs-close markers (so
     \\left| x \\right| is abs and a dangling \\right| is an evaluation
     bar), any other delimiter keeps its normal meaning."""
+    # bracket-class aliases (grammar.y's _L_*/_R_* token classes): set
+    # braces and angle brackets group like parentheses; \lvert/\lVert
+    # families are abs/norm-class (both map onto the abs markers)
+    alias = {
+        "\\{": "(", "\\}": ")", "\\lbrace": "(", "\\rbrace": ")",
+        "\\langle": "(", "\\rangle": ")",
+        "\\lvert": "\\labs", "\\rvert": "\\rabs",
+        "\\lVert": "\\labs", "\\rVert": "\\rabs", "\\Vert": "|", "\\vert": "|",
+    }
+    toks = [alias.get(t, t) for t in toks]
     out: list[str] = []
     i = 0
     while i < len(toks):
@@ -403,7 +427,7 @@ def _preprocess(toks: list[str]) -> list[str]:
             if nxt == ".":
                 i += 2
                 continue
-            if nxt == "|":
+            if nxt in ("|", "\\|"):
                 out.append("\\labs" if t == "\\left" else "\\rabs")
                 i += 2
                 continue

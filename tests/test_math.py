@@ -245,3 +245,30 @@ def test_decorated_relations():
     assert base_to < {p for p, _ in sp("A \\xrightarrow{f} B")}
     assert base_eq < {p for p, _ in sp("a \\stackrel{def}{=} b")}
     assert sp("a \\overset{d}{=} b")
+
+
+def test_bracket_class_tokens():
+    """Round-3 grammar widening: escaped/named bracket classes parse
+    instead of parse-skipping (reference lexer _L_*/_R_* token classes)."""
+    from search_engine_spark.math.texparse import tex_lr_paths, tex_parse
+
+    for tex in (
+        r"\left\{x+1\right\}",
+        r"\{a,b\}",
+        r"\langle u, v\rangle",
+        r"\left\|v\right\|",
+        r"\lvert x\rvert",
+    ):
+        assert tex_lr_paths(tex), tex
+
+    # floor/ceil are bracket classes WITH operator meaning
+    t = tex_parse(r"\lfloor x \rfloor")
+    assert t.op == "fun" and t.children[0].sym == "fun:floor"
+    t = tex_parse(r"\lceil x \rceil")
+    assert t.children[0].sym == "fun:ceil"
+    # norm collapses onto the abs class
+    t = tex_parse(r"\left\|v\right\|")
+    assert t.op == "fun" and t.children[0].sym == "fun:abs"
+    # comma list inside a bracket -> sep group (tuples/sets)
+    t = tex_parse(r"(a, b)")
+    assert t.op == "sep" and len(t.children) == 2
