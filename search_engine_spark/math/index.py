@@ -75,6 +75,15 @@ MATH_LR_SCHEMA = StructType(
         StructField("path_id", IntegerType(), False),  # 1..64, leaf order
         StructField("n_lr", IntegerType(), False),  # expression's lr-path count
         StructField("exp_pos", IntegerType(), False),  # token position (see above)
+        # join keys for candidate generation (the reference seeks only the
+        # query's subpath posting DIRECTORIES, math-index/dir-merge.c:74-89;
+        # these columns are the directory-key twin): a concrete query path
+        # matches doc paths sharing its leaf-anchored FIRST segment, a
+        # wildcard (root-anchored suffix) matches doc paths sharing its
+        # LAST segment — so MNC candidate generation is an equi-join probe,
+        # never a corpus scan (see search._mnc_per_exp)
+        StructField("leaf_seg", StringType(), False),  # first '/'-segment of struct
+        StructField("root_seg", StringType(), False),  # last '/'-segment of struct
     ]
 )
 
@@ -103,7 +112,7 @@ def build_math_lr_index(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             if pdf.empty:
                 continue
-            rows = {"doc_id": [], "exp_id": [], "struct": [], "symbol": [], "path_id": [], "n_lr": [], "exp_pos": []}
+            rows = {"doc_id": [], "exp_id": [], "struct": [], "symbol": [], "path_id": [], "n_lr": [], "exp_pos": [], "leaf_seg": [], "root_seg": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if not isinstance(text, str):
                     continue
@@ -111,6 +120,7 @@ def build_math_lr_index(docs: DataFrame) -> DataFrame:
                 for exp_id, tex in enumerate(extract_math_spans(text)):
                     paths = tex_lr_paths(tex)
                     for pid, (struct, symbol) in enumerate(paths, start=1):
+                        segs = struct.split("/")
                         rows["doc_id"].append(doc_id)
                         rows["exp_id"].append(exp_id)
                         rows["struct"].append(struct)
@@ -118,6 +128,8 @@ def build_math_lr_index(docs: DataFrame) -> DataFrame:
                         rows["path_id"].append(pid)
                         rows["n_lr"].append(len(paths))
                         rows["exp_pos"].append(mpos[exp_id])
+                        rows["leaf_seg"].append(segs[0])
+                        rows["root_seg"].append(segs[-1])
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id", "text").mapInPandas(extract, MATH_LR_SCHEMA)

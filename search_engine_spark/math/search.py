@@ -133,24 +133,65 @@ def _mnc_per_exp(spark: SparkSession, lr_postings: DataFrame, tex: str) -> DataF
         return None
     q_sorted = order_query_paths(qpaths)
     n_q = len(q_sorted)
-    qdf = spark.createDataFrame(
-        [(i, s, sym) for i, (s, sym) in enumerate(q_sorted)],
-        "q_ord int, q_struct string, q_sym string",
-    )
-    is_wild = F.col("q_sym") == "*"
-    trail = F.expr("substring(q_struct, 3)")  # struct minus the 'V/' leaf marker
-    match_cond = F.when(
-        is_wild,
-        (F.length("q_struct") <= 1)
-        | (F.col("struct") == trail)
-        | F.col("struct").endswith(F.concat(F.lit("/"), trail)),
-    ).otherwise(
-        (F.col("struct") == F.col("q_struct"))
-        | F.col("struct").startswith(F.concat(F.col("q_struct"), F.lit("/")))
-    )
-    matched = lr_postings.where(F.col("n_lr") >= n_q).join(
-        F.broadcast(qdf), match_cond
-    )
+
+    # Candidate generation is a KEYED probe, not a scan (reference: the dir
+    # merge opens only the query's subpath directories, dir-merge.c:74-89).
+    # Bucket the query paths by which equi-key their match predicate fixes:
+    # - concrete (q_sym != '*'): doc struct must equal q_struct or extend it
+    #   root-ward (prefix + '/'), so the doc path's leaf-anchored FIRST
+    #   segment equals q_struct's first segment -> equi-join on leaf_seg;
+    # - wildcard with a trail (struct minus the 'V/' leaf marker): doc
+    #   struct must equal the trail or end with '/' + trail, so the doc
+    #   path's LAST segment equals the trail's last segment -> equi-join on
+    #   root_seg (an empty trail from a 2-char q_struct keys to '' and
+    #   matches nothing — exactly the old predicate's behavior);
+    # - bare wildcard (len(q_struct) <= 1): matches EVERY path — joined on
+    #   a constant key (a full match IS a full read; single-qvar queries
+    #   only). The exact prefix/suffix predicate stays as a post-filter, so
+    #   results are identical to the former nested-loop condition.
+    q_conc, q_wild, q_all = [], [], []
+    for i, (s, sym) in enumerate(q_sorted):
+        if sym != "*":
+            q_conc.append((i, s, sym, s.split("/")[0]))
+        elif len(s) <= 1:
+            q_all.append((i, s, sym))
+        else:
+            trail = s[2:]
+            q_wild.append((i, s, sym, trail.rsplit("/", 1)[-1] if trail else ""))
+
+    lr = lr_postings.where(F.col("n_lr") >= n_q)
+    if "leaf_seg" not in lr.columns:  # pre-keyed tables carry these columns
+        lr = lr.withColumn("leaf_seg", F.substring_index("struct", "/", 1)).withColumn(
+            "root_seg", F.substring_index("struct", "/", -1)
+        )
+    branches = []
+    qcols = "q_ord int, q_struct string, q_sym string"
+    if q_conc:
+        qc = spark.createDataFrame(q_conc, qcols + ", q_key string")
+        branches.append(
+            lr.join(F.broadcast(qc), F.col("leaf_seg") == F.col("q_key")).where(
+                (F.col("struct") == F.col("q_struct"))
+                | F.col("struct").startswith(F.concat(F.col("q_struct"), F.lit("/")))
+            )
+        )
+    if q_wild:
+        qw = spark.createDataFrame(q_wild, qcols + ", q_key string")
+        trail = F.expr("substring(q_struct, 3)")
+        branches.append(
+            lr.join(F.broadcast(qw), F.col("root_seg") == F.col("q_key")).where(
+                (F.col("struct") == trail)
+                | F.col("struct").endswith(F.concat(F.lit("/"), trail))
+            )
+        )
+    if q_all:
+        qa = spark.createDataFrame(q_all, qcols).withColumn("_k", F.lit(1))
+        branches.append(
+            lr.withColumn("_k", F.lit(1)).join(F.broadcast(qa), "_k").drop("_k")
+        )
+    out_cols = ["doc_id", "exp_id", "struct", "symbol", "path_id", "n_lr", "exp_pos", "q_ord"]
+    matched = branches[0].select(*out_cols)
+    for b in branches[1:]:
+        matched = matched.unionByName(b.select(*out_cols))
     cands = (
         matched.groupBy("doc_id", "exp_id")
         .agg(F.countDistinct("q_ord").alias("_nq"))

@@ -91,3 +91,44 @@ def test_golden_case_spark(spark, name, query, hits, nots):
     for i, t in enumerate(docs):
         expect = expr_mnc_sim(qp, tex_lr_paths(t))
         assert got.get(i, 0) == expect, (t, got.get(i, 0), expect)
+
+
+def test_mnc_candidate_gen_is_keyed_join(spark):
+    """Candidate generation must be an equi-key probe of the lr table, not
+    a BroadcastNestedLoopJoin scan (the reference seeks only the query's
+    subpath directories, math-index/dir-merge.c:74-89). Covers both the
+    concrete (leaf_seg) and wildcard-with-trail (root_seg) branches."""
+    from search_engine_spark.math.index import build_math_lr_index
+    from search_engine_spark.math.search import _mnc_per_exp
+
+    df = spark.createDataFrame(
+        [(0, "doc [imath]a + \\frac 1 a = a[/imath] end"),
+         (1, "doc [imath]f(a) = a^2 + \\frac {a^2} 2[/imath] end")],
+        "doc_id long, text string",
+    )
+    lr = build_math_lr_index(df)
+    for q in ("a + \\frac 1 a = a", "f(x) = \\qvar{x} + \\frac \\qvar{x} 2"):
+        pe = _mnc_per_exp(spark, lr, q)
+        plan = pe._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, (q, plan)
+
+
+def test_mnc_keyed_join_matches_unkeyed_on_bare_lr_table(spark):
+    """A caller-supplied lr frame WITHOUT the stored leaf_seg/root_seg key
+    columns must be keyed on the fly and score identically."""
+    from search_engine_spark.math.index import build_math_lr_index
+    from search_engine_spark.math.search import mnc_expr_scores
+    from search_engine_spark.math.texparse import tex_lr_paths
+
+    docs = ["a + \\frac 1 a = a", "b + \\frac 1 b = b", "\\frac 3 a"]
+    df = spark.createDataFrame(
+        [(i, f"doc [imath]{t}[/imath] end") for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    bare = build_math_lr_index(df).drop("leaf_seg", "root_seg")
+    q = "a + \\frac 1 a = a"
+    got = {r["doc_id"]: r["mnc_score"] for r in mnc_expr_scores(spark, bare, q).collect()}
+    qp = tex_lr_paths(q)
+    for i, t in enumerate(docs):
+        expect = expr_mnc_sim(qp, tex_lr_paths(t))
+        assert got.get(i, 0) == expect, (t, got.get(i, 0), expect)
