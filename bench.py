@@ -311,7 +311,7 @@ def _run_workload(cpus: int, sf_dir: str, n_docs: int) -> dict:
         "ft_tokenize", "ft_postings", "ft_bm25_or2", "ft_bm25_and2",
         "ft_bm25_wand", "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard",
         "sim_ann_brute", "sim_ann_ivf_kmeans", "tx_quality",
-        "rel_pricing_summary",
+        "rel_pricing_rollup",
     ]
     if os.environ.get("BENCH_HEADLINE"):
         headline = os.environ["BENCH_HEADLINE"].split(",")
