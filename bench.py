@@ -102,11 +102,9 @@ def _postcache_probe(spark, idx) -> dict:
     """Warm-vs-cold serving: cold reads every posting block from the saved
     parquet per query; warm serves the df-hottest terms from the budgeted
     in-memory cache (reference indices/postcache.c split)."""
-    import dataclasses
-
     from search_engine_spark.corpus import vocab_word as W
     from search_engine_spark.plans.build import load_index, save_index
-    from search_engine_spark.plans.cache import build_posting_cache, served_blocks
+    from search_engine_spark.plans.cache import attach_posting_cache, build_posting_cache
     from search_engine_spark.plans.query import search_many
 
     path = _OUT_DIR + "/saved"
@@ -117,7 +115,7 @@ def _postcache_probe(spark, idx) -> dict:
     search_many(spark, cold, wl).collect()
     cold_s = time.time() - t0
     cache = build_posting_cache(cold, budget_bytes=32 << 20)
-    warm = dataclasses.replace(cold, doc_blocks=served_blocks(cold, cache))
+    warm = attach_posting_cache(cold, cache)
     t0 = time.time()
     search_many(spark, warm, wl).collect()
     warm_s = time.time() - t0

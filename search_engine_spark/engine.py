@@ -76,14 +76,10 @@ class SearchEngine:
         if cache_budget_bytes is None:
             self.index.cache()
         else:
-            import dataclasses
-
-            from .plans.cache import build_posting_cache, served_blocks
+            from .plans.cache import attach_posting_cache, build_posting_cache
 
             cache = build_posting_cache(self.index, cache_budget_bytes)
-            self.index = dataclasses.replace(
-                self.index, doc_blocks=served_blocks(self.index, cache)
-            )
+            self.index = attach_posting_cache(self.index, cache)
         return self
 
     # ------------------------------------------------------------- query --

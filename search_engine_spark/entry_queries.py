@@ -876,13 +876,11 @@ def _q_postcache_equiv(spark, sf_dir):
     terms streamed from the store — reference indices/postcache.c split)
     and require output identical to the plain oracle. A tiny budget forces
     BOTH the hot (cached) and cold (anti-join) paths to carry terms."""
-    import dataclasses
-
-    from .plans.cache import build_posting_cache, served_blocks
+    from .plans.cache import attach_posting_cache, build_posting_cache
 
     idx = get_index(spark, sf_dir)
     cache = build_posting_cache(idx, budget_bytes=256 * 1024)
-    warm = dataclasses.replace(idx, doc_blocks=served_blocks(idx, cache))
+    warm = attach_posting_cache(idx, cache)
     res = search(spark, warm, "merge join", mode="or", k=S.RANK_K + 64)
     return _ranked(res, k=S.RANK_K)
 

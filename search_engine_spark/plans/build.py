@@ -43,6 +43,10 @@ class InvertedIndex:
     docN: int
     avgdl: float
     doc_blocks: DataFrame | None = None  # packed blocks, doc-sharded layout (serving)
+    # posting-cache pool broadcast (pool, bounds) set by
+    # plans.cache.attach_posting_cache; carried on the index handle (NOT on
+    # a DataFrame attribute, which silently vanishes under any transform)
+    hot_pool_bc: object = None
 
     def cache(self) -> "InvertedIndex":
         """Warm the serving path (reference postcache role, indices/postcache.c)."""

@@ -10,17 +10,29 @@ deviation).
 
 Spark shape: one pass computes per-term block byte sizes, a cumulative sum
 over the df-descending order picks the hot prefix that fits the budget, and
-ONLY those blocks are persisted. Cold terms keep streaming from the
-columnar store — exactly the reference's memory/disk split. (The global
-prefix selection is a single-partition window over vocab-sized rows; at a
-10^8-term vocab you would bucket terms by df decile first and cumsum per
-bucket — the selection is a one-off at warm-up either way.)
+ONLY those rows are materialized into the pool. Cold terms keep streaming
+from the columnar store — exactly the reference's memory/disk split. (The
+global prefix selection is a single-partition window over vocab-sized rows;
+at a 10^8-term vocab you would bucket terms by df decile first and cumsum
+per bucket — the selection is a one-off at warm-up either way.)
+
+Pool addressing: the cached rows are CONTENT-addressed. ``PostingCache``
+holds them as a plain pandas frame with no notion of partitioning;
+``attach_posting_cache`` assigns them to serving shards by DOC-ID RANGE
+containment against the serving frame's per-partition bounds measured at
+attach time — so a store re-read under different split conf (a different
+``spark.sql.files.maxPartitionBytes``, AQE coalescing, more executors)
+re-derives a correct mapping instead of silently merging hot rows into the
+wrong shard. The shard kernel additionally validates its incoming cold
+rows against the claimed bounds and fails loudly on any drift between
+attach and query time (see plans/serve.shard_search).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 DEFAULT_BUDGET = 32 * 1024 * 1024  # postcache.h POSTCACHE_POOL_LIMIT per searchd default
@@ -33,10 +45,10 @@ class PostingCache:
     budget_bytes: int
     bytes_used: int
     n_hot_terms: int
-    # broadcast in-memory pool: shard partition id -> pandas frame of that
-    # shard's hot block rows (the postcache_pool twin; see served_blocks)
-    hot_pool_bc: object = None
-    n_shards: int = 0
+    # the in-memory pool content (postcache_pool twin): hot block rows as
+    # one budget-bounded pandas frame — no partition ids; shard assignment
+    # happens at attach time by doc-range containment
+    hot_rows: object = None
 
 
 def _block_bytes() -> F.Column:
@@ -50,9 +62,10 @@ def _block_bytes() -> F.Column:
 
 
 def build_posting_cache(index, budget_bytes: int = DEFAULT_BUDGET) -> PostingCache:
-    """Select df-hottest terms until the byte budget fills; persist only
-    their blocks. Returns the cache handle (hot_blocks is persisted and
-    materialized)."""
+    """Select df-hottest terms until the byte budget fills; materialize
+    their block rows into the pool frame. Returns the cache handle
+    (hot_blocks is persisted; hot_rows is the driver-side pool content,
+    bounded by the byte budget)."""
     blocks = index.doc_blocks if index.doc_blocks is not None else index.blocks
     sizes = blocks.groupBy("term").agg(F.sum(_block_bytes()).alias("term_bytes"))
     ranked = sizes.join(index.term_stats.select("term", "df"), "term")
@@ -70,45 +83,131 @@ def build_posting_cache(index, budget_bytes: int = DEFAULT_BUDGET) -> PostingCac
     ).collect()[0]
     hot_blocks = blocks.join(F.broadcast(hot_terms.select("term")), "term").persist()
     hot_blocks.count()
-    # Materialize the hot rows into a BROADCAST pool keyed by the shard
-    # partition id they came from. This is the reference's in-memory pool
-    # (postcache_fork_term_posting): bounded by the byte budget, shipped to
-    # every executor once, and merged back into the owning shard's kernel
-    # at query time — the doc-sharded serving kernel requires every block
-    # of a given doc in ONE shard, so a term-keyed union of hot and cold
-    # frames (two different partitionings) would split a doc across shards
-    # and mis-score any query mixing hot and cold terms. Keying by
-    # spark_partition_id is stable because the parent frame is either
-    # persisted (fixed partitions) or a parquet scan (deterministic split
-    # planning for the same files + conf).
-    stamped = blocks.withColumn("_shard", F.spark_partition_id()).join(
-        F.broadcast(hot_terms.select("term")), "term"
-    )
-    pool_pdf = stamped.toPandas()
-    hot_pool = {
-        int(s): g.drop(columns=["_shard"]).reset_index(drop=True)
-        for s, g in pool_pdf.groupby("_shard")
-    }
-    sc = blocks.sparkSession.sparkContext
     return PostingCache(
         hot_terms=hot_terms,
         hot_blocks=hot_blocks,
         budget_bytes=budget_bytes,
         bytes_used=int(stats["b"]),
         n_hot_terms=int(stats["n"]),
-        hot_pool_bc=sc.broadcast(hot_pool),
-        n_shards=blocks.rdd.getNumPartitions(),
+        hot_rows=hot_blocks.toPandas(),
     )
 
 
 def served_blocks(index, cache: PostingCache) -> DataFrame:
-    """The serving view (search.c's cached-vs-on-disk posting split):
-    COLD blocks stream from the store with the hot terms filtered out
-    (narrow plan — the shard partitioning of the parent is preserved);
-    the HOT rows ride along as the broadcast pool tagged on the frame,
-    which the shard kernel merges back into the owning shard. The result
-    plugs into InvertedIndex.doc_blocks unchanged."""
+    """The COLD half of the serving split (search.c's cached-vs-on-disk
+    posting split): blocks streamed from the store with the hot terms
+    filtered out. Narrow plan — the doc-sharded partitioning of the parent
+    is preserved. Use ``attach_posting_cache`` to get a servable index; this
+    helper only derives the cold view."""
     blocks = index.doc_blocks if index.doc_blocks is not None else index.blocks
-    cold = blocks.join(F.broadcast(cache.hot_terms.select("term")), "term", "left_anti")
-    cold._postcache_hot_pool = cache.hot_pool_bc
-    return cold
+    return blocks.join(F.broadcast(cache.hot_terms.select("term")), "term", "left_anti")
+
+
+def partition_doc_ranges(blocks: DataFrame) -> dict[int, object]:
+    """pid -> sorted [lo, hi] array of the CONSECUTIVE DOC-ID RUNS each
+    partition of ``blocks`` actually owns, AS PLANNED RIGHT NOW.
+
+    The doc-sharded layout guarantees every doc's blocks live in ONE
+    partition, but a partition owns SEVERAL contiguous docID groups (the
+    docID window hash-shuffles url-range groups by _pid) and a single
+    BLOCK's [first,last] span can bridge another partition's group (a
+    term's consecutive postings jump the gap), so block metadata cannot
+    give ownership. Instead each partition decodes its doc_ids blobs once
+    and emits the runs of consecutive doc ids it holds — runs from
+    disjoint doc sets can never overlap across partitions, making the
+    mapping content-exact. One executor-parallel scan of the doc_ids
+    column per attach (daemon warm-up cost, reference postcache role)."""
+    import pandas as pd
+
+    def ranges(batches):
+        from pyspark import TaskContext
+
+        from ..functions import codec
+
+        ids = []
+        for pdf in batches:
+            for blob in pdf["doc_ids_blob"]:
+                ids.append(codec.decode_ids(blob).astype(np.int64))
+        if not ids:
+            return
+        u = np.unique(np.concatenate(ids))
+        brk = np.flatnonzero(np.diff(u) != 1)
+        starts = np.r_[u[:1], u[brk + 1]]
+        ends = np.r_[u[brk], u[-1:]]
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame({"pid": pid, "lo": starts, "hi": ends})
+
+    rows = (
+        blocks.select("doc_ids_blob")
+        .mapInPandas(ranges, "pid int, lo long, hi long")
+        .collect()
+    )
+    by_pid: dict[int, list] = {}
+    for r in rows:
+        by_pid.setdefault(int(r["pid"]), []).append((int(r["lo"]), int(r["hi"])))
+    return {
+        pid: np.asarray(sorted(iv), dtype=np.int64) for pid, iv in by_pid.items()
+    }
+
+
+def attach_posting_cache(index, cache: PostingCache):
+    """index + cache -> a NEW InvertedIndex whose doc_blocks is the cold
+    view and whose ``hot_pool_bc`` broadcast carries (pool, bounds):
+
+    - ``bounds``: pid -> merged doc-interval array of each serving-frame
+      partition as planned right now (partition_doc_ranges; one cheap
+      metadata-column job per attach). Interval sets must be globally
+      disjoint — the doc-sharded layout invariant the serving kernel
+      requires; overlap raises.
+    - ``pool``: pid -> pandas frame of the hot rows whose doc range falls
+      inside that partition's intervals (np.searchsorted containment — the
+      content-addressed assignment; partition ids recorded at cache-BUILD
+      time never survive to here, so split-conf drift between build and
+      attach is harmless by construction).
+
+    The shard kernel merges pool[pid] ahead of its cold rows and validates
+    the cold rows against bounds[pid], raising on any attach-to-query
+    drift instead of silently mis-scoring (plans/serve.shard_search).
+    """
+    import dataclasses
+
+    blocks = index.doc_blocks if index.doc_blocks is not None else index.blocks
+    cold = served_blocks(index, cache)
+    bounds = partition_doc_ranges(blocks)
+    flat = sorted(
+        (int(lo), int(hi), pid) for pid, iv in bounds.items() for lo, hi in iv
+    )
+    for (_, prev_hi, _), (nxt_lo, _, _) in zip(flat, flat[1:]):
+        if nxt_lo <= prev_hi:
+            raise ValueError(
+                "attach_posting_cache: serving frame partitions do not own "
+                "disjoint doc ranges (doc-sharded layout required); "
+                f"overlap at doc_id {nxt_lo} <= {prev_hi}"
+            )
+    pool: dict[int, object] = {}
+    hot = cache.hot_rows
+    if hot is not None and len(hot) and flat:
+        glo = np.asarray([lo for lo, _, _ in flat])
+        ghi = np.asarray([hi for _, hi, _ in flat])
+        gpid = np.asarray([pid for _, _, pid in flat])
+
+        def _owner(doc):
+            at = np.searchsorted(glo, doc, side="right") - 1
+            ok = (at >= 0) & (doc <= ghi[np.maximum(at, 0)])
+            return ok, gpid[np.maximum(at, 0)]
+
+        # a hot block's FIRST doc pins its owner; the LAST doc must belong
+        # to the same partition (both are actual doc ids of the block — a
+        # block may span several of its owner's runs, never another's)
+        ok_f, owner = _owner(hot["first_doc_id"].to_numpy())
+        ok_l, owner_l = _owner(hot["last_doc_id"].to_numpy())
+        if not (ok_f & ok_l & (owner == owner_l)).all():
+            raise ValueError(
+                "attach_posting_cache: cached block rows fall outside every "
+                "serving partition's doc ranges — the cache was built against "
+                "a different store; rebuild it"
+            )
+        for pid in np.unique(owner):
+            pool[int(pid)] = hot[owner == pid].reset_index(drop=True)
+    bc = blocks.sparkSession.sparkContext.broadcast((pool, bounds))
+    return dataclasses.replace(index, doc_blocks=cold, hot_pool_bc=bc)

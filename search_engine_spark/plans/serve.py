@@ -505,11 +505,14 @@ def shard_search(
     all_terms = sorted({t for kws, _ in queries.values() for _, t, _ in kws})
     if not all_terms:
         return spark.createDataFrame([], "qid string, rank int, " + _OUT_SCHEMA[12:])
-    # posting-cache pool (plans/cache.py): hot block rows live in a
-    # broadcast keyed by shard partition id; the cold frame preserves the
-    # parent's doc-sharded partitioning, so merging the pool back inside
-    # the owning shard keeps every doc's blocks in ONE kernel invocation
-    hot_pool = getattr(index.doc_blocks, "_postcache_hot_pool", None)
+    # posting-cache pool (plans/cache.attach_posting_cache): hot block rows
+    # live in a broadcast of (pool, bounds) carried on the index handle.
+    # Assignment is content-addressed (doc-range containment at attach
+    # time); the kernel merges its shard's pool rows ahead of the cold rows
+    # — the doc-sharded kernel requires every block of a doc in ONE shard —
+    # and VALIDATES the incoming cold rows against the claimed doc bounds,
+    # raising on attach-to-query split drift instead of mis-scoring.
+    hot_pool = getattr(index, "hot_pool_bc", None)
     term_set = set(all_terms)
     blocks = index.doc_blocks.filter(F.col("term").isin(all_terms))
     avgdl = index.avgdl
@@ -533,16 +536,41 @@ def shard_search(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if hot_pool is not None:
-            from itertools import chain
-
             from pyspark import TaskContext
 
             ctx = TaskContext.get()
-            h = hot_pool.value.get(ctx.partitionId()) if ctx is not None else None
+            pid = ctx.partitionId() if ctx is not None else None
+            pool, bounds = hot_pool.value
+            pdfs = [pdf for pdf in batches if not pdf.empty]
+            iv = bounds.get(pid)  # [lo, hi] doc-id runs this shard owns
+
+            def _in_runs(doc):
+                at = np.searchsorted(iv[:, 0], doc, side="right") - 1
+                return (at >= 0) & (doc <= iv[np.maximum(at, 0), 1])
+
+            for pdf in pdfs:
+                # a block's first/last are actual doc ids of this shard; a
+                # block may span several of the shard's runs, so only the
+                # endpoints are checked against the run set
+                ok = iv is not None and bool(
+                    (
+                        _in_runs(pdf["first_doc_id"].to_numpy())
+                        & _in_runs(pdf["last_doc_id"].to_numpy())
+                    ).all()
+                )
+                if not ok:
+                    raise RuntimeError(
+                        "posting-cache shard mapping is stale: partition "
+                        f"{pid} received doc ids outside its attach-time "
+                        "bounds — the serving frame was re-planned under "
+                        "different split conf; re-attach the cache"
+                    )
+            h = pool.get(pid)
             if h is not None:
                 h = h[h["term"].isin(term_set)]
                 if len(h):
-                    batches = chain([h], batches)
+                    pdfs = [h, *pdfs]
+            batches = iter(pdfs)
         if prune:
             frames = [
                 _frame(qid, res)

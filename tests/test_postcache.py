@@ -4,12 +4,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from search_engine_spark.plans.cache import build_posting_cache, served_blocks
+from search_engine_spark.plans.cache import (
+    attach_posting_cache,
+    build_posting_cache,
+    served_blocks,
+)
 
 
-def test_budget_respected_and_hottest_first(spark, index200):
-    full_sizes = (
-        index200.doc_blocks.groupBy("term")
+def _term_sizes(index):
+    return (
+        index.doc_blocks.groupBy("term")
         .agg(
             F.sum(
                 F.octet_length("doc_ids_blob")
@@ -19,9 +23,13 @@ def test_budget_respected_and_hottest_first(spark, index200):
                 + F.lit(64)
             ).alias("term_bytes")
         )
-        .join(index200.term_stats.select("term", "df"), "term")
+        .join(index.term_stats.select("term", "df"), "term")
         .collect()
     )
+
+
+def test_budget_respected_and_hottest_first(spark, index200):
+    full_sizes = _term_sizes(index200)
     total = sum(r["term_bytes"] for r in full_sizes)
     budget = total // 3
     cache = build_posting_cache(index200, budget_bytes=budget)
@@ -39,10 +47,21 @@ def test_budget_respected_and_hottest_first(spark, index200):
     got = [r["term"] for r in cache.hot_terms.orderBy("cum_bytes").collect()]
     assert got == expect
     assert cache.n_hot_terms == len(expect)
-    # 3. cold frame + broadcast pool cover exactly the full block set
-    pool_rows = sum(len(v) for v in cache.hot_pool_bc.value.values())
-    assert served_blocks(index200, cache).count() + pool_rows == index200.doc_blocks.count()
-    assert pool_rows > 0
+    # 3. cold frame + pool content cover exactly the full block set
+    assert served_blocks(index200, cache).count() + len(cache.hot_rows) == index200.doc_blocks.count()
+    assert len(cache.hot_rows) > 0
+    # 4. attach assigns every pool row to exactly one shard
+    warm = attach_posting_cache(index200, cache)
+    pool, bounds = warm.hot_pool_bc.value
+    assert sum(len(v) for v in pool.values()) == len(cache.hot_rows)
+    import numpy as np
+    for pid, frame in pool.items():
+        iv = bounds[pid]
+        for col in ("first_doc_id", "last_doc_id"):
+            doc = frame[col].to_numpy()
+            at = np.searchsorted(iv[:, 0], doc, side="right") - 1
+            assert (at >= 0).all()
+            assert (doc <= iv[at, 1]).all()
     cache.hot_blocks.unpersist()
     cache.hot_terms.unpersist()
 
@@ -51,7 +70,10 @@ def test_zero_budget_caches_nothing(spark, index200):
     cache = build_posting_cache(index200, budget_bytes=0)
     assert cache.n_hot_terms == 0 and cache.bytes_used == 0
     assert served_blocks(index200, cache).count() == index200.doc_blocks.count()
-    assert sum(len(v) for v in cache.hot_pool_bc.value.values()) == 0
+    assert len(cache.hot_rows) == 0
+    warm = attach_posting_cache(index200, cache)
+    pool, _ = warm.hot_pool_bc.value
+    assert pool == {}
     cache.hot_blocks.unpersist()
     cache.hot_terms.unpersist()
 
@@ -59,27 +81,12 @@ def test_zero_budget_caches_nothing(spark, index200):
 def test_mixed_hot_cold_query_identical(spark, index200):
     """THE split case: a query with one cached (hot) and one streamed
     (cold) term must score identically to plain serving. The doc-sharded
-    kernel needs every doc's blocks in one shard — the broadcast pool
-    merges hot rows back into the owning shard (a term-keyed union of two
+    kernel needs every doc's blocks in one shard — the pool rows merge
+    back into the shard owning their doc range (a term-keyed union of two
     differently-partitioned frames would split docs and mis-score)."""
-    import dataclasses
-
     from search_engine_spark.plans.query import search
 
-    sizes = (
-        index200.doc_blocks.groupBy("term")
-        .agg(
-            F.sum(
-                F.octet_length("doc_ids_blob")
-                + F.octet_length("tfs_blob")
-                + F.octet_length("doclens_blob")
-                + F.octet_length("positions_blob")
-                + F.lit(64)
-            ).alias("term_bytes")
-        )
-        .join(index200.term_stats.select("term", "df"), "term")
-        .collect()
-    )
+    sizes = _term_sizes(index200)
     order = sorted(sizes, key=lambda r: (-r["df"], r["term"]))
     cache = build_posting_cache(index200, budget_bytes=order[0]["term_bytes"])
     hot = {r["term"] for r in cache.hot_terms.collect()}
@@ -88,9 +95,7 @@ def test_mixed_hot_cold_query_identical(spark, index200):
     cold_term = next(r["term"] for r in order if r["term"] not in hot)
     q = f"{hot_term} {cold_term}"
 
-    warm_idx = dataclasses.replace(
-        index200, doc_blocks=served_blocks(index200, cache)
-    )
+    warm_idx = attach_posting_cache(index200, cache)
     plain = [
         (r["doc_id"], round(r["score"], 9))
         for r in search(spark, index200, q).collect()
@@ -102,3 +107,44 @@ def test_mixed_hot_cold_query_identical(spark, index200):
     assert warm == plain
     cache.hot_blocks.unpersist()
     cache.hot_terms.unpersist()
+
+
+def test_attach_survives_split_conf_drift(spark, index200, tmp_path):
+    """Content-addressed pool assignment: build the cache against one read
+    of the saved store, then RE-READ the store under a radically different
+    ``spark.sql.files.maxPartitionBytes`` (different partition count, so
+    every cache-build partition id is meaningless) and attach. Scores must
+    be identical to plain serving — the pid-keyed design this replaces
+    merged hot rows into the wrong shards here."""
+    from search_engine_spark.plans.build import load_index, save_index
+    from search_engine_spark.plans.query import search
+
+    path = str(tmp_path / "idx")
+    save_index(index200, path)
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        cold_a = load_index(spark, path)
+        sizes = _term_sizes(cold_a)
+        order = sorted(sizes, key=lambda r: (-r["df"], r["term"]))
+        cache = build_posting_cache(cold_a, budget_bytes=order[0]["term_bytes"])
+        hot = {r["term"] for r in cache.hot_terms.collect()}
+        cold_term = next(r["term"] for r in order if r["term"] not in hot)
+        q = f"{order[0]['term']} {cold_term}"
+        plain = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search(spark, index200, q).collect()
+        ]
+
+        spark.conf.set(key, str(16 * 1024))  # force a different split plan
+        cold_b = load_index(spark, path)
+        warm = attach_posting_cache(cold_b, cache)
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search(spark, warm, q).collect()
+        ]
+        assert got == plain
+    finally:
+        spark.conf.set(key, old)
+        cache.hot_blocks.unpersist()
+        cache.hot_terms.unpersist()
