@@ -276,13 +276,21 @@ def _run_workload(cpus: int, sf_dir: str, n_docs: int) -> dict:
         for i, (q, m) in enumerate(base)
     }
     search(spark, idx, base[0][0]).collect()  # warm the python workers
-    t0 = time.time()
-    search_many(spark, idx, workload).collect()  # batch-serving path
-    qps_s = time.time() - t0
+    # best-of-N like every other number (single-shot QPS on this shared VM
+    # cannot be separated from 2-3x co-tenant noise — the r3 lesson)
+    q_reps = int(os.environ.get("BENCH_QUERY_REPEATS", "2"))
+    qps_s = wand_s = None
+    for _ in range(q_reps):
+        t0 = time.time()
+        search_many(spark, idx, workload).collect()  # batch-serving path
+        dt = time.time() - t0
+        qps_s = dt if qps_s is None else min(qps_s, dt)
+        t0 = time.time()
+        search_many(spark, idx, workload, prune=True).collect()  # batch WAND
+        dt = time.time() - t0
+        wand_s = dt if wand_s is None else min(wand_s, dt)
     out["query_qps"] = round(len(workload) / qps_s, 2)
-    t0 = time.time()
-    search_many(spark, idx, workload, prune=True).collect()  # batch WAND
-    out["query_qps_wand"] = round(len(workload) / (time.time() - t0), 2)
+    out["query_qps_wand"] = round(len(workload) / wand_s, 2)
     t0 = time.time()
     search(spark, idx, base[0][0]).collect()  # single-query latency
     out["query_latency_sec"] = round(time.time() - t0, 3)
