@@ -101,13 +101,14 @@ def ngram_jaccard_pairs(
     (its Jaccard is dominated by noise anyway); values of surfaced pairs
     are unaffected because verification uses the full sets.
 
-    Dataflow (one shuffle for candidate generation — NOT a shingle
-    self-join): group each shingle's sorted doc list, keep buckets sized
-    [2, max_shingle_df] (the size predicate IS the df cap — no separate df
-    aggregate or anti-join), explode the in-bucket pair combinations
-    JVM-side. Bucket size is capped, so the per-bucket pair expansion is
-    O(cap^2) and the whole stage is one combinable groupBy — the shape
-    that survives a Zipf shingle distribution at web scale.
+    Dataflow (NOT a shingle self-join): with a df cap, a COMBINABLE count
+    aggregate finds oversized shingles first and an anti-join drops them —
+    so a corpus-sized hot bucket only ever exists as map-side partial
+    counters, never as a collect_list buffer; then each surviving
+    shingle's sorted doc list groups once and the in-bucket (a < b) pair
+    combinations explode JVM-side. Bucket size is capped, so the
+    per-bucket pair expansion is O(cap^2) — the shape that survives a
+    Zipf shingle distribution at web scale.
 
     The per-doc shingle-array frame is persisted (it feeds pair generation
     and both verify sides; self-joins do not CSE); call ``release`` on the
@@ -119,12 +120,24 @@ def ngram_jaccard_pairs(
         F.expr(_shingles_expr(k)).alias("_sh"),
     ).persist()
     sh = based.select("doc_id", F.explode("_sh").alias("shingle"))
+    if max_shingle_df is not None:
+        # df cap enforced BEFORE any doc list materializes: the count
+        # aggregate is combinable (map-side partial sums), so one ultra-hot
+        # shingle — a stopword trigram at web scale — costs a handful of
+        # partial counters, never a corpus-sized aggregation buffer. Only
+        # the surviving buckets reach the collect_list below (whose size is
+        # then bounded by the cap).
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     buckets = sh.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("_ds")
     )
     size_ok = F.size("_ds") >= 2
-    if max_shingle_df is not None:
-        size_ok = size_ok & (F.size("_ds") <= max_shingle_df)
     # sorted doc list -> all (a < b) pairs, JVM-side
     pair_expr = (
         "flatten(transform(_ds, (x, i) -> "
@@ -379,6 +392,7 @@ def dup_groups(docs: DataFrame, pairs: DataFrame, max_iters: int = 20) -> DataFr
     ).persist()
     labels = nodes.select("doc_id", F.col("doc_id").alias("component")).persist()
     labels.count()
+    changed = 0
     for _ in range(max_iters):
         nbr = edges.join(
             labels.select(F.col("doc_id").alias("src"), "component"), "src"
@@ -398,6 +412,17 @@ def dup_groups(docs: DataFrame, pairs: DataFrame, max_iters: int = 20) -> DataFr
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # diameter > max_iters: labels are only partially propagated —
+        # surface it instead of silently returning split components
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dup_groups: min-label propagation did NOT converge after %d "
+            "rounds (%d labels still changing) — components may be split; "
+            "raise max_iters or switch to large-star/small-star",
+            max_iters, changed,
+        )
     edges.unpersist()
     grp = labels.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("group_size")

@@ -225,9 +225,11 @@ def merge_indexes(
     from ..operators.blocks import reencode_pos_vb, unpack_blocks
 
     cols = ["term", "doc_id", "tf", "doclen", "positions"]
-    rows = reencode_pos_vb(
-        left.postings.select(*cols).unionByName(right.postings.select(*cols))
-    )
+    # an index built with keep_row_postings=False carries postings=None —
+    # decode its packed blocks on demand instead of crashing
+    lrows = left.postings if left.postings is not None else unpack_blocks(left.blocks)
+    rrows = right.postings if right.postings is not None else unpack_blocks(right.blocks)
+    rows = reencode_pos_vb(lrows.select(*cols).unionByName(rrows.select(*cols)))
     dmeta = left.doc_meta.unionByName(right.doc_meta.select(*left.doc_meta.columns))
     if persist:
         rows = rows.persist()

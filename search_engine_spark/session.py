@@ -69,12 +69,28 @@ def get_spark(
     # writers. On a real cluster SPARK_LOCAL_DIRS points at executor-local
     # NVMe; this sandbox's single virtio disk anti-scales with writer count
     # (identical 261MB write: 23.5s tmpfs vs 52.7s /tmp at 32 threads), so
-    # default to tmpfs when available. SPARK_LOCAL_DIRS / extra_conf win.
-    if not os.environ.get("SPARK_LOCAL_DIRS") and "spark.local.dir" not in (
-        extra_conf or {}
+    # default to tmpfs — but ONLY when /dev/shm has real headroom beyond the
+    # pinned JVM heap: shuffle spill competing with the heap for RAM hits
+    # tmpfs ENOSPC on hosts where /dev/shm (default 50% RAM) is tight, and
+    # those builds would have succeeded on disk. SPARK_LOCAL_DIRS /
+    # extra_conf / SPARK_GRAFT_TMPFS=0 all win over the heuristic.
+    if (
+        not os.environ.get("SPARK_LOCAL_DIRS")
+        and os.environ.get("SPARK_GRAFT_TMPFS", "1") != "0"
+        and "spark.local.dir" not in (extra_conf or {})
     ):
         shm = "/dev/shm/spark-local"
-        if os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            free_gb = st.f_bavail * st.f_frsize / (1 << 30)
+        except OSError:
+            free_gb = 0.0
+        # require free tmpfs >= heap + 8 GB of spill headroom
+        import re
+
+        m = re.match(r"(\d+)\s*([gGmM]?)", heap)
+        heap_gb = int(m.group(1)) / (1024.0 if m.group(2).lower() == "m" else 1.0) if m else 64.0
+        if free_gb >= heap_gb + 8:
             os.makedirs(shm, exist_ok=True)
             builder = builder.config("spark.local.dir", shm)
     if master:
