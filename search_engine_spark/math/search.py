@@ -289,6 +289,15 @@ def split_query(qtext: str) -> tuple[list[str], list[str]]:
     return terms, texes
 
 
+# Above this candidate count the per-doc math results stay as DataFrames
+# (the shuffle-join combine) instead of broadcasting into the term kernel —
+# a hostile single-subpath query matching a large corpus slice must not
+# materialize on the driver. The reference holds math score postings as
+# transient in-memory lists under the same kind of read caps
+# (math-expr-search.c transient postings + config.h read limits).
+MAX_BROADCAST_MATH_DOCS = 200_000
+
+
 def mixed_search(
     spark: SparkSession,
     index: InvertedIndex,
@@ -316,14 +325,21 @@ def mixed_search(
     Proximity: matched expression positions join the term positions as one
     extra keyword per TEX keyword (reference search/search.c:215-237) — a
     doc whose only adjacency is term<->math gets prox != ln 0.3.
+
+    Serving shape: when the index carries doc-sharded blocks and the math
+    candidate set fits MAX_BROADCAST_MATH_DOCS, the per-doc math scores +
+    matched positions BROADCAST into the doc-sharded serving kernel, which
+    computes the complete mixed total in-shard with a local top-k — the
+    term side pays ZERO shuffle, exactly like term-only serving
+    (_mixed_shard_search; the reference merges its transient math postings
+    into the same DAAT loop as the term iterators, search/search.c:374).
+    Otherwise the set-oriented join/aggregate combine runs.
     """
     terms, texes = split_query(qtext)
     n_terms = len(terms)
 
-    # per-doc max over all TEX keywords (reference keeps a global max,
-    # search/search.c:222-229 max_math_score) + matched expr positions
-    math_df = None
-    math_pos = None
+    # per-TEX-keyword per-doc frames: (doc_id, math_score, [exp_pos...])
+    per_tex: list[tuple[int, DataFrame]] = []
     for ti, tex in enumerate(texes):
         if math_lr_postings is not None:
             from .texparse import tex_lr_paths
@@ -344,13 +360,44 @@ def mixed_search(
             if pe is None:
                 continue
             pe = pe.where(F.col("sim") > 0).select("doc_id", "sim", "exp_pos")
-        mdf = pe.groupBy("doc_id").agg(
-            F.max("sim").alias("math_score"),
-            F.collect_list("exp_pos").alias("_mpos"),
+        per_tex.append(
+            (
+                ti,
+                pe.groupBy("doc_id").agg(
+                    F.max("sim").alias("math_score"),
+                    F.collect_list("exp_pos").alias("_mpos"),
+                ),
+            )
         )
-        math_df = (
-            mdf if math_df is None else math_df.unionByName(mdf)
-        )
+
+    if terms and index.doc_blocks is not None:
+        # collect the (bounded) math candidate set for the in-kernel path;
+        # overflow falls back to the DataFrame combine below
+        minfo: dict[int, list] = {}
+        small = True
+        for ti, mdf in per_tex:
+            rows = mdf.limit(MAX_BROADCAST_MATH_DOCS + 1).collect()
+            if len(rows) > MAX_BROADCAST_MATH_DOCS:
+                small = False
+                break
+            for r in rows:
+                e = minfo.setdefault(int(r["doc_id"]), [0.0, []])
+                e[0] = max(e[0], float(r["math_score"]))
+                e[1].append((n_terms + ti, [int(p) for p in r["_mpos"]]))
+            if len(minfo) > MAX_BROADCAST_MATH_DOCS:
+                small = False
+                break
+        if small:
+            return _mixed_shard_search(
+                spark, index, terms, mode, minfo, n_terms, k, with_prox
+            )
+
+    # ---- set-oriented combine (no terms / no doc-sharded blocks / math
+    # candidate set too large to broadcast) --------------------------------
+    math_df = None
+    math_pos = None
+    for ti, mdf in per_tex:
+        math_df = mdf if math_df is None else math_df.unionByName(mdf)
         if with_prox:
             mp = mdf.select(
                 "doc_id",
@@ -423,5 +470,184 @@ def mixed_search(
     )
     scored = combined.withColumn("score", total)
     return top_k(scored, k).select(
+        "doc_id", "bm25", "match_dim", "max_math", "prox", "score"
+    )
+
+
+def _solo_prox(plist: list, ln03: float) -> float:
+    """Proximity of a MATH-ONLY doc: min adjacent cross-keyword gap within
+    the matched expression positions alone (>= 2 TEX keywords needed)."""
+    arr = sorted((p, kwi) for kwi, pl in plist for p in pl)
+    best = None
+    for (p1, k1), (p2, k2) in zip(arr, arr[1:]):
+        if k1 != k2 and (best is None or p2 - p1 < best):
+            best = p2 - p1
+    if best is None:
+        return ln03
+    return float(_math.log(0.3 + _math.exp(-float(best))))
+
+
+def _mixed_shard_search(
+    spark: SparkSession,
+    index: InvertedIndex,
+    terms: list[str],
+    mode: str,
+    minfo: dict[int, list],
+    n_terms: int,
+    k: int,
+    with_prox: bool,
+) -> DataFrame:
+    """Mixed serving through the doc-sharded kernel (zero term-side shuffle).
+
+    ``minfo``: doc_id -> [max_math, [(kw_idx, [positions...])...]] —
+    broadcast to every shard. Each shard decodes its term blocks once,
+    computes the COMPLETE reference total per doc (prox over merged
+    term+math positions, (1+max_math)/2 * bm25, match-dim bonus incl. the
+    math dimension, search/search.c:253-274) and emits its local top-k
+    PLUS every math-matched doc it term-matched (so the driver-side
+    math-only branch can be deduped exactly: a kernel row exists for every
+    term∩math doc, and a kernel row always carries the true total). Rows
+    moved per query: n_shards*k + |math∩term| — same order as term-only
+    serving. Math-only docs (no term postings anywhere) become a tiny
+    driver-built frame with bm25=1; a doc-keyed priority window keeps the
+    kernel row when both exist. mode='and' keeps reference semantics (all
+    term keywords required; math optional) so no math-only branch applies.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.serve import _decode_partition
+
+    ln03 = float(_math.log(0.3))
+    stats = (
+        index.term_stats.filter(F.col("term").isin(terms)).select("term", "df").collect()
+    )
+    dfmap = {r["term"]: r["df"] for r in stats}
+    kws = [
+        (i, t, S.idf(float(dfmap.get(t, 0)), float(index.docN)))
+        for i, t in enumerate(terms)
+    ]
+    avgdl = float(index.avgdl)
+    bc = spark.sparkContext.broadcast(minfo)
+    blocks = index.doc_blocks.filter(F.col("term").isin(terms))
+    schema = (
+        "doc_id long, bm25 double, match_dim double, max_math double, "
+        "prox double, score double"
+    )
+    k1, b = S.BM25_K1, S.BM25_B
+    frac = S.BM25_K1 / avgdl
+    mdw = S.MATCH_DIM_WEIGHT
+
+    def kernel(batches):
+        decoded = _decode_partition(batches, want_pos=with_prox)
+        if not decoded:
+            return
+        row_doc, row_kw, row_score = [], [], []
+        rp_doc, rp_kw, rp_pos = [], [], []
+        for kw_idx, term, idf in kws:
+            got = decoded.get(term)
+            if got is None:
+                continue
+            ids, tfs, dls, pos = got
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            sc = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + frac * dl))
+            row_doc.append(ids)
+            row_kw.append(np.full(len(ids), kw_idx, dtype=np.int64))
+            row_score.append(sc)
+            if with_prox and pos is not None and len(pos):
+                rp_doc.append(np.repeat(ids, tfs))
+                rp_kw.append(np.repeat(np.int64(kw_idx), int(tfs.sum())))
+                rp_pos.append(pos)
+        if not row_doc:
+            return
+        doc = np.concatenate(row_doc)
+        score = np.concatenate(row_score)
+        udoc, inv = np.unique(doc, return_inverse=True)
+        n = len(udoc)
+        bm25 = np.full(n, 1.0)
+        nz = score != 0.0
+        np.add.at(bm25, inv[nz], score[nz])
+        match_dim = np.zeros(n)
+        np.add.at(match_dim, inv[nz], 1.0)
+        n_matched = np.zeros(n, dtype=np.int64)
+        np.add.at(n_matched, inv, 1)
+
+        # math component for docs present in this shard (vectorized key probe)
+        mv = bc.value
+        mm = np.zeros(n)
+        if mv:
+            keys = np.fromiter(mv.keys(), dtype=np.int64, count=len(mv))
+            ins = np.searchsorted(udoc, keys)
+            ok = (ins < n) & (udoc[np.minimum(ins, n - 1)] == keys)
+            for key, slot in zip(keys[ok], ins[ok]):
+                s, plist = mv[int(key)]
+                mm[slot] = s
+                if with_prox:
+                    for kwi, pl in plist:
+                        if pl:
+                            rp_doc.append(np.full(len(pl), key, dtype=np.int64))
+                            rp_kw.append(np.full(len(pl), kwi, dtype=np.int64))
+                            rp_pos.append(np.asarray(pl, dtype=np.int64))
+
+        if with_prox and rp_doc:
+            pdoc = np.concatenate(rp_doc)
+            pkw = np.concatenate(rp_kw)
+            ppos = np.concatenate(rp_pos)
+            order = np.lexsort((ppos, pdoc))
+            pdoc, pkw, ppos = pdoc[order], pkw[order], ppos[order]
+            sel = (pdoc[1:] == pdoc[:-1]) & (pkw[1:] != pkw[:-1])
+            mind = np.full(n, np.inf)
+            if sel.any():
+                gidx = np.searchsorted(udoc, pdoc[1:][sel])
+                np.minimum.at(mind, gidx, (ppos[1:] - ppos[:-1])[sel].astype(np.float64))
+            prox = np.log(0.3 + np.exp(-mind))
+        else:
+            prox = np.full(n, ln03)
+
+        if mode == "and":
+            keep = n_matched == n_terms
+            if not keep.any():
+                return
+            udoc, bm25, match_dim, prox, mm = (
+                udoc[keep], bm25[keep], match_dim[keep], prox[keep], mm[keep]
+            )
+        total = prox + (1.0 + mm) / 2.0 * bm25 + mdw * (match_dim + (mm > 0))
+        order = np.lexsort((udoc, -total))
+        emit = np.zeros(len(udoc), dtype=bool)
+        emit[order[:k]] = True
+        emit |= mm > 0  # every math∩term doc, for exact driver-side dedup
+        yield pd.DataFrame(
+            {
+                "doc_id": udoc[emit],
+                "bm25": bm25[emit],
+                "match_dim": match_dim[emit],
+                "max_math": mm[emit],
+                "prox": prox[emit],
+                "score": total[emit],
+            }
+        )
+
+    local = blocks.mapInPandas(kernel, schema)
+    solo_rows = []
+    if mode != "and":
+        for d, (s, plist) in minfo.items():
+            prox = _solo_prox(plist, ln03) if with_prox else ln03
+            solo_rows.append(
+                (int(d), 1.0, 0.0, float(s), prox, prox + (1.0 + s) / 2.0 + mdw)
+            )
+    if solo_rows:
+        solo = spark.createDataFrame(solo_rows, schema)
+        w = Window.partitionBy("doc_id").orderBy("_prio")
+        combined = (
+            local.withColumn("_prio", F.lit(0))
+            .unionByName(solo.withColumn("_prio", F.lit(1)))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_prio", "_rn")
+        )
+    else:
+        combined = local
+    return top_k(combined, k).select(
         "doc_id", "bm25", "match_dim", "max_math", "prox", "score"
     )

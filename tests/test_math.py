@@ -272,3 +272,48 @@ def test_bracket_class_tokens():
     # comma list inside a bracket -> sep group (tuples/sets)
     t = tex_parse(r"(a, b)")
     assert t.op == "sep" and len(t.children) == 2
+
+
+def test_mixed_kernel_matches_frame_combine_and_sheds_shuffles(spark):
+    """The in-kernel mixed path (math scores broadcast into the doc-sharded
+    kernel) must produce the same ranked totals as the set-oriented
+    join/aggregate combine, with strictly fewer Exchange (shuffle) nodes on
+    the term side of the plan."""
+    import dataclasses
+
+    from search_engine_spark.corpus import synth_corpus
+    from search_engine_spark.math.index import build_math_index, build_math_lr_index
+    from search_engine_spark.math.search import mixed_search
+    from search_engine_spark.plans.build import build_index
+    from pyspark.sql import functions as F
+
+    docs = synth_corpus(spark, 150, n_parts=4).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.xxhash64("url") % 3 == 0, F.lit(" [imath]a+\\frac{2}{a}[/imath]")
+            ).otherwise(F.lit("")),
+        ),
+    ).cache()
+    idx = build_index(spark, docs)
+    mp = build_math_index(idx.docstore)
+    lr = build_math_lr_index(idx.docstore)
+    q = "see merge [imath]a+\\frac{2}{a}[/imath]"
+
+    kernel_res = mixed_search(spark, idx, mp, q, math_lr_postings=lr)
+    # doc_blocks=None forces the set-oriented combine
+    frame_idx = dataclasses.replace(idx, doc_blocks=None)
+    frame_res = mixed_search(spark, frame_idx, mp, q, math_lr_postings=lr)
+
+    def rows(df):
+        return [
+            (r["doc_id"], round(r["score"], 6), round(r["max_math"], 6), round(r["prox"], 6))
+            for r in df.collect()
+        ]
+
+    assert rows(kernel_res) == rows(frame_res)
+    kp = kernel_res._jdf.queryExecution().executedPlan().toString()
+    fp = frame_res._jdf.queryExecution().executedPlan().toString()
+    assert kp.count("Exchange") < fp.count("Exchange"), (
+        kp.count("Exchange"), fp.count("Exchange"))
