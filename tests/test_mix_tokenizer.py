@@ -15,11 +15,13 @@ from search_engine_spark.functions.mix_tokenizer import (
 CASES = [
     ("Dog hates CAT", ["dog", "hates", "cat"]),
     ("中文分词 test", ["中文", "分词", "test"]),
-    ("数学 [imath]a+b[/imath] 表达式", ["数学", "math_exp", "表达式"]),
+    ("数学 [imath]a+b[/imath] 表达式", ["数学", "math_exp", "表达", "表达式"]),
     ("[imath]unterminated 中文", []),
     ("mixed中En文x", ["mixed", "中", "en", "文", "x"]),
     ("标点，测试。end", ["标点", "测试", "end"]),
-    ("我们在北京大学学习汉语", ["我们", "在", "北京大学", "学习", "汉语"]),
+    # CutForSearch mode: 3+/4+ char dictionary words re-emit their
+    # in-dictionary sub-words before the full word (jieba cut_for_search)
+    ("我们在北京大学学习汉语", ["我们", "在", "北京", "大学", "北京大学", "学习", "汉语"]),
     ("", []),
 ]
 
@@ -40,8 +42,10 @@ def test_unigram_fallback_golden():
 
 
 def test_fmm_longest_match_and_offsets():
-    # longest match wins (北京大学 over 北京+大学); offsets are char indices
-    assert fmm_segment("北京大学") == [("北京大学", 0)]
+    # longest match wins (北京大学 over 北京+大学); offsets are char indices;
+    # CutForSearch mode re-emits in-dictionary sub-words at THEIR offsets
+    assert fmm_segment("北京大学") == [("北京", 0), ("大学", 2), ("北京大学", 0)]
+    assert fmm_segment("北京大学", search_subwords=False) == [("北京大学", 0)]
     assert fmm_segment("北京大") == [("北京", 0), ("大", 2)]
     # out-of-vocabulary chars degrade to unigrams; ASCII runs stay whole
     assert fmm_segment("xyz中鑫abc") == [("xyz", 0), ("中", 3), ("鑫", 4), ("abc", 5)]
@@ -136,3 +140,16 @@ def test_mix_run_boundaries_match_flex(pieces):
     model_runs = [e for e in model if e[0] == "run"]
     assert got_runs == model_runs, (text, got_runs, model_runs)
     assert n_math == sum(1 for e in model if e[0] == "math"), text
+
+
+def test_expanded_dict_closes_small_dict_undersegmentation():
+    """Round-3 gap (VERDICT): the small dictionary under-segmented common
+    domain vocabulary into unigrams. The expanded frequency-ranked list
+    segments it into real words, matching jieba CutForSearch output
+    (sub-words of a long match re-emitted before the full word)."""
+    # 机器学习/人工智能 were out-of-vocabulary in round 3 -> unigram spray
+    assert fmm_segment("机器学习") == [("机器", 0), ("学习", 2), ("机器学习", 0)]
+    assert mix_tokenize_text("我用机器学习做研究") == [
+        "我", "用", "机器", "学习", "机器学习", "做", "研究",
+    ]
+    assert mix_tokenize_text("人工智能改变世界") == ["人工", "智能", "人工智能", "改变", "世界"]

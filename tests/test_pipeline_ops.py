@@ -171,3 +171,36 @@ def test_merge_rejects_overlap(spark, corpus200):
     ib = build_index(spark, ided.where(F.col("doc_id") >= 100), id_col="doc_id", block=32)
     with pytest.raises(ValueError, match="overlap"):
         merge_indexes(ia, ib, block=32)
+
+
+def test_real_decode_path_gated_on_pillow(spark):
+    """mm_features real path: pytest-gated on the Pillow probe (this
+    sandbox ships no decoder — the gate documents that; on a cluster image
+    with Pillow the same test exercises the real decode)."""
+    import pytest
+
+    from search_engine_spark.operators.multimodal import (
+        extract_features,
+        media_frame,
+        pil_available,
+    )
+
+    docs = spark.createDataFrame([(1, b"\x89PNG not a real image")], "doc_id long, html binary")
+    media = media_frame(docs)
+    if not pil_available():
+        import py4j.protocol
+
+        with pytest.raises(Exception):  # ImportError inside the executor
+            extract_features(media, decode_stub=False).collect()
+    else:
+        # Pillow present: a real 1x1 PNG must decode to dim floats in [0,1]
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (4, 4), color=128).save(buf, format="PNG")
+        docs = spark.createDataFrame([(1, buf.getvalue())], "doc_id long, html binary")
+        rows = extract_features(media_frame(docs), decode_stub=False).collect()
+        assert len(rows[0]["feature"]) == 8
+        assert all(0.0 <= v <= 1.0 for v in rows[0]["feature"])

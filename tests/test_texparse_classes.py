@@ -1,0 +1,109 @@
+"""Per-class parse coverage of the reference grammar's token classes.
+
+Enumerates the token classes of tex-parser/grammar.y:35-97 with one or
+more representative inputs each; every input must parse and decompose to a
+non-empty subpath set (the reference's parse-or-n_parse_err gate).
+Class-specific semantics (content-ignoring \\text, the generic
+\\operatorname symbol, legacy \\pmatrix rows) are pinned where the lexer
+defines them (lexer.template.l:49-53, :615, :150).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from search_engine_spark.math.texparse import tex_parse, tex_subpaths
+
+# grammar.y token class -> representative TeX inputs
+GRAMMAR_CLASSES = {
+    "NUM": ["42", "3.14"],
+    "VAR": ["x", "X \\alpha \\infty"],
+    "ADD": ["a + b"],
+    "NEG": ["a - b", "-a"],
+    "TIMES": ["a b", "a \\cdot b", "a \\times b", "2x"],
+    "DIV": ["a / b", "a \\div b"],
+    "FRAC": ["\\frac{a}{b}", "{a \\over b}"],
+    "ABOVE": ["{a \\above 2pt b}", "{a \\above 1.5pt b + c}"],
+    "SUM_CLASS": ["\\sum_{i=1}^{n} i", "\\int_0^1 x", "\\prod_k k",
+                  "\\bigcup_i A_i", "\\lim_{x \\to 0} x"],
+    "SEP_CLASS": ["(a, b)", "a \\atop b", "\\substack{a \\\\ b}"],
+    "REL_CLASS": ["a = b", "a < b", "a \\le b", "a \\sim b", "a \\cong b",
+                  "a \\ll b", "a \\prec b", "a \\subseteq b", "a \\cap b",
+                  "a \\cup b", "a \\in A", "a \\notin A", "a \\mid b",
+                  "a \\parallel b", "a \\propto b"],
+    "ARROW(SEP_CLASS)": ["a \\to b", "a \\mapsto b", "a \\Rightarrow b",
+                         "a \\leftrightarrow b", "a \\hookrightarrow b",
+                         "a \\implies b", "a \\iff b", "a \\uparrow b"],
+    "FUN_CLASS": ["\\sin x", "\\cos^2 x", "\\log_2 n", "\\det A", "\\gcd(a,b)",
+                  "\\Pr(X)", "\\dim V", "\\ker f", "\\sinh x", "\\arctan x",
+                  "\\liminf_n a_n"],
+    "USR_FUN(FUN_CLASS)": ["\\operatorname{lcm}(a,b)", "\\operatorname*{argmax}_x f"],
+    "PRIME": ["f'", "x''"],
+    "SUBSCRIPT": ["x_i"],
+    "SUPSCRIPT": ["x^2"],
+    "BINOM": ["\\binom{n}{k}", "{n \\choose k}"],
+    "SQRT/ROOT": ["\\sqrt{x}", "\\sqrt[3]{x}"],
+    "VECT": ["\\vec{v}", "\\hat{x}", "\\bar{y}", "\\overline{z}"],
+    "MODULAR": ["a \\bmod n", "a \\pmod n"],
+    "FACT": ["n!"],
+    "_QVAR": ["\\qvar{x} + 1"],
+    "TAB/MATRIX": ["\\begin{matrix} a & b \\\\ c & d \\end{matrix}",
+                   "\\begin{pmatrix} 1 & 0 \\\\ 0 & 1 \\end{pmatrix}",
+                   "\\begin{cases} x & x > 0 \\\\ 0 & x \\le 0 \\end{cases}",
+                   "\\pmatrix{a & b \\cr c & d}"],
+    "STACKREL/SET_REL": ["a \\stackrel{d}{=} b", "a \\overset{d}{=} b",
+                         "a \\underset{n}{=} b"],
+    "X_ARROW": ["a \\xrightarrow{f} b"],
+    "BRACKETS(_L_*/_R_*)": ["(a + b)", "\\{a, b\\}", "\\langle a, b \\rangle",
+                            "\\lvert x \\rvert", "\\lfloor x \\rfloor",
+                            "\\left( a \\right)", "\\left| x \\right|",
+                            "\\left. a \\right|_0^1"],
+    "IGN(text)": ["\\text{speed } v", "\\mbox{if } x > 0"],
+}
+
+
+@pytest.mark.parametrize(
+    "cls,examples", GRAMMAR_CLASSES.items(), ids=list(GRAMMAR_CLASSES)
+)
+def test_class_parses_and_decomposes(cls, examples):
+    for ex in examples:
+        paths = tex_subpaths(ex)
+        assert paths, f"{cls}: {ex!r} failed to parse/decompose"
+
+
+def test_text_content_is_ignored():
+    # lexer.template.l:49-53 — the braced argument emits NO tokens
+    assert tex_subpaths("\\text{abcdef} x") == tex_subpaths("x")
+    assert tex_subpaths("\\mbox{hello world} \\frac{a}{b}") == tex_subpaths("\\frac{a}{b}")
+
+
+def test_operatorname_is_one_generic_symbol():
+    # lexer.template.l:615 — \operatorname{..} lexes to ONE usr_fun token;
+    # different names are the SAME symbol
+    assert tex_subpaths("\\operatorname{lcm}(a,b)") == tex_subpaths("\\operatorname{foo}(a,b)")
+
+
+def test_legacy_pmatrix_equals_environment_form():
+    legacy = tex_subpaths("\\pmatrix{a & b \\cr c & d}")
+    env = tex_subpaths("\\begin{pmatrix} a & b \\\\ c & d \\end{pmatrix}")
+    assert legacy == env
+
+
+def test_underset_matches_overset_shape():
+    assert tex_subpaths("a \\underset{n}{=} b") == tex_subpaths("a \\overset{n}{=} b")
+
+
+def test_above_is_a_fraction():
+    assert tex_subpaths("{a \\above 2pt b}") == tex_subpaths("\\frac{a}{b}")
+
+
+def test_arrow_and_rel_long_tail_have_distinct_symbols():
+    # autogen symbols: each macro name is its own leaf symbol
+    assert tex_subpaths("a \\mapsto b") != tex_subpaths("a \\hookrightarrow b")
+    assert tex_subpaths("a \\sim b") != tex_subpaths("a \\cong b")
+
+
+def test_unknown_macro_still_degrades_to_leaf():
+    # unknown commands stay opaque leaves (lenient vs the reference's
+    # parse error; documented deviation)
+    assert tex_subpaths("\\notarealmacro + x")
