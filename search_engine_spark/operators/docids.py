@@ -9,41 +9,90 @@ parallelism. NEVER ``monotonically_increasing_id`` (partition-layout
 dependent => breaks rank-identity across cluster sizes).
 
 Scale note: a single global window would funnel all rows through one task.
-``row_number`` over an un-partitioned window is exactly that, so for web
-scale we use the standard two-phase trick: sort-partition by url range, count
-rows per partition, broadcast the per-partition offsets, and add the offset
-to the within-partition row number. Equivalent output, no single-task
-bottleneck.
+The distributed scheme is the standard two-phase rank — bucket the rows,
+count per bucket, broadcast cumulative offsets, rank within bucket — with
+one hard-won rule: EVERY value must derive from DATA, never from physical
+partitioning. An earlier version bucketed by
+``repartitionByRange(url) + spark_partition_id()``; Spark documents that
+range repartitioning "uses sampling to estimate the ranges [so] the output
+may not be consistent", and the offsets subquery and the final join are
+separate executions of that exchange — measured at 400k docs: ~5k DUPLICATE
+docIDs from drifted boundaries (~20-40 ids at every bucket edge), varying
+run to run. The same hazard applies to AQE re-planning and speculative
+execution on a real cluster. Here the bucket of a row is a PURE FUNCTION
+of its url against boundaries sampled once and frozen driver-side, so
+counts, offsets, and ranks agree by construction on every execution.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import IntegerType
 
 
-def assign_doc_ids(docs: DataFrame, order_col: str = "url", scale_safe: bool = True) -> DataFrame:
-    """Append a deterministic 1-based ``doc_id`` ordered by ``order_col``."""
+def assign_doc_ids(
+    docs: DataFrame,
+    order_col: str = "url",
+    scale_safe: bool = True,
+    buckets_per_core: int = 4,
+    sample_per_bucket: int = 128,
+) -> DataFrame:
+    """Append a deterministic 1-based ``doc_id`` ordered by ``order_col``.
+
+    Two-phase distributed row_number over DATA-derived buckets:
+
+    1. sample ~``sample_per_bucket`` values per target bucket (seeded, one
+       driver-side collect), freeze the bucket boundaries in a broadcast;
+    2. bucket each row with a vectorized searchsorted over the frozen
+       boundaries (a pure function of the row — re-execution, AQE
+       re-planning, and speculative tasks all agree);
+    3. count rows per bucket, broadcast the cumulative offsets, and add
+       them to the within-bucket rank.
+
+    4 buckets per core by default: downstream tokenize/pack stages inherit
+    hash(bucket) partitioning — partitions own WHOLE buckets (hash never
+    splits a key), preserving the doc-disjointness the doc-sharded serving
+    layout requires — and one-task-per-core would let a single heavy range
+    straggle the stage (measured 17s -> 3.5s on the invert stage at
+    local[32], 200k docs).
+    """
     if not scale_safe:
         w = Window.orderBy(order_col)
-        return docs.withColumn("doc_id", F.row_number().over(w))
+        return docs.withColumn("doc_id", F.row_number().over(w).cast("long"))
 
-    # Two-phase distributed row_number: range-partition by the order column,
-    # then window within partition and add broadcasted partition offsets.
-    # 4 partitions per core: downstream tokenize/pack stages inherit this
-    # partitioning, and one-task-per-core lets a single heavy range
-    # straggle the whole stage (measured 17s -> 3.5s on the invert stage at
-    # local[32], 200k docs). Offsets make doc_ids identical at ANY count.
-    part = docs.repartitionByRange(
-        4 * docs.sparkSession.sparkContext.defaultParallelism, order_col
+    spark = docs.sparkSession
+    n_buckets = max(1, buckets_per_core * spark.sparkContext.defaultParallelism)
+    total = docs.count()
+    if total == 0:
+        return docs.withColumn("doc_id", F.lit(None).cast("long"))
+    frac = min(1.0, float(sample_per_bucket * n_buckets) / float(total))
+    sample = sorted(
+        r[0] for r in docs.select(order_col).sample(False, frac, seed=42).collect()
     )
-    with_pid = part.withColumn("_pid", F.spark_partition_id())
-    w = Window.partitionBy("_pid").orderBy(order_col)
-    numbered = with_pid.withColumn("_rn", F.row_number().over(w))
-    counts = numbered.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
-    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    if sample:
+        step = len(sample) / float(n_buckets)
+        boundaries = sorted({sample[int(i * step)] for i in range(1, n_buckets)})
+    else:
+        boundaries = []
+    bc = spark.sparkContext.broadcast(boundaries)
+
+    @F.pandas_udf(IntegerType())
+    def _bucket(vals: pd.Series) -> pd.Series:
+        b = bc.value
+        if not b:
+            return pd.Series(np.zeros(len(vals), dtype=np.int32))
+        at = np.searchsorted(np.asarray(b, dtype=object), vals.to_numpy(), side="right")
+        return pd.Series(at.astype(np.int32))
+
+    bucketed = docs.withColumn("_bkt", _bucket(F.col(order_col)))
+    counts = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)))
+    w = Window.partitionBy("_bkt").orderBy(order_col)
     return (
-        numbered.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
-        .withColumn("doc_id", (F.col("_rn") + F.col("_off")).cast("long"))
-        .drop("_pid", "_rn", "_off")
+        bucketed.join(F.broadcast(offsets.select("_bkt", "_off")), "_bkt")
+        .withColumn("doc_id", (F.row_number().over(w) + F.col("_off")).cast("long"))
+        .drop("_bkt", "_off")
     )

@@ -156,10 +156,22 @@ def build_index(
 
 
 def save_index(index: InvertedIndex, path: str) -> None:
-    """Persist index tables (Parquet dirs; Iceberg when a catalog is up)."""
+    """Persist index tables (Parquet dirs; Iceberg when a catalog is up).
+
+    ``doc_blocks`` carries an explicit ``_shard`` column (the writing
+    partition id): a raw parquet re-read splits big files at row-group
+    boundaries, which can land ONE document's blocks in TWO partitions and
+    silently break the doc-sharded serving invariant (observed at 400k
+    docs: >128MB files + default maxPartitionBytes). load_index restores
+    the layout by hash-repartitioning on ``_shard`` — hashing never splits
+    a shard value, and merging whole shards preserves doc disjointness.
+    """
     write_table(index.blocks, f"{path}/blocks", partition_cols=None)
     if index.doc_blocks is not None:
-        write_table(index.doc_blocks, f"{path}/doc_blocks")
+        write_table(
+            index.doc_blocks.withColumn("_shard", F.spark_partition_id()),
+            f"{path}/doc_blocks",
+        )
     write_table(index.doc_meta, f"{path}/doc_meta")
     write_table(index.term_stats, f"{path}/term_stats")
     write_table(index.docstore, f"{path}/docstore")
@@ -179,6 +191,12 @@ def load_index(spark: SparkSession, path: str, with_row_postings: bool = False) 
     doc_blocks = None
     if os.path.exists(f"{path}/doc_blocks"):
         doc_blocks = read_table(spark, f"{path}/doc_blocks")
+        if "_shard" in doc_blocks.columns:
+            # restore the doc-sharded layout (see save_index): hash
+            # repartition by the writing shard id — file-split boundaries
+            # from the raw scan never survive into serving partitions
+            n = spark.sparkContext.defaultParallelism * 4
+            doc_blocks = doc_blocks.repartition(n, "_shard").drop("_shard")
     return InvertedIndex(
         postings=unpack_blocks(blocks) if with_row_postings else None,
         blocks=blocks,

@@ -85,12 +85,11 @@ def get_spark(
             free_gb = st.f_bavail * st.f_frsize / (1 << 30)
         except OSError:
             free_gb = 0.0
-        # require free tmpfs >= heap + 8 GB of spill headroom
-        import re
-
-        m = re.match(r"(\d+)\s*([gGmM]?)", heap)
-        heap_gb = int(m.group(1)) / (1024.0 if m.group(2).lower() == "m" else 1.0) if m else 64.0
-        if free_gb >= heap_gb + 8:
+        # require a real absolute headroom floor (not heap-relative: the
+        # pinned heap is ALLOCATED RAM, tmpfs free space is a separate
+        # budget — demanding heap+spill of tmpfs would wrongly reject
+        # boxes like this one where /dev/shm = 50% RAM ~= the heap)
+        if free_gb >= 16:
             os.makedirs(shm, exist_ok=True)
             builder = builder.config("spark.local.dir", shm)
     if master:

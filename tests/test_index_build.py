@@ -148,3 +148,63 @@ def test_loaded_blocks_term_filter_pushdown(spark, index200, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan and "EqualTo(term,wabcd)" in plan, plan
+
+
+def test_loaded_index_partitions_own_disjoint_doc_runs(spark, index200, tmp_path):
+    """A raw parquet re-read can split a >row-group file and land one doc's
+    blocks in two partitions — save_index/load_index carry and restore the
+    writing shard id so the doc-sharded serving invariant survives any
+    split conf (observed broken at 400k docs before the fix)."""
+    from search_engine_spark.plans.build import load_index, save_index
+    from search_engine_spark.plans.cache import partition_doc_ranges
+
+    path = str(tmp_path / "idx_runs")
+    save_index(index200, path)
+    key = "spark.sql.files.maxPartitionBytes"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(8 * 1024))
+        loaded = load_index(spark, path)
+        assert "_shard" not in loaded.doc_blocks.columns
+        bounds = partition_doc_ranges(loaded.doc_blocks)
+        flat = sorted(
+            (int(lo), int(hi)) for iv in bounds.values() for lo, hi in iv
+        )
+        for (_, prev_hi), (nxt_lo, _) in zip(flat, flat[1:]):
+            assert nxt_lo > prev_hi, (nxt_lo, prev_hi)
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_doc_ids_unique_deterministic_and_rank_exact(spark):
+    """Regression for the round-4 400k finding: the old two-phase scheme
+    derived bucket ids from repartitionByRange + spark_partition_id, whose
+    sampling Spark documents as inconsistent across executions — the
+    offsets subquery and the final join disagreed and ~5k doc ids
+    DUPLICATED at 400k docs. The data-derived bucket scheme must produce
+    exactly rank-over-url ids, identically on every evaluation."""
+    from pyspark.sql import functions as F
+
+    from search_engine_spark.corpus import synth_corpus
+    from search_engine_spark.operators.docids import assign_doc_ids
+
+    corpus = synth_corpus(spark, 3000, n_parts=8).cache()
+    corpus.count()
+    ids = assign_doc_ids(corpus, "url")
+    agg = ids.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("d"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    assert (agg["n"], agg["d"], agg["lo"], agg["hi"]) == (3000, 3000, 1, 3000)
+    a = {(r["url"], r["doc_id"]) for r in ids.select("url", "doc_id").collect()}
+    b = {
+        (r["url"], r["doc_id"])
+        for r in assign_doc_ids(corpus, "url", scale_safe=False)
+        .select("url", "doc_id")
+        .collect()
+    }
+    assert a == b  # exact rank-over-url semantics
+    c = {(r["url"], r["doc_id"]) for r in assign_doc_ids(corpus, "url").select("url", "doc_id").collect()}
+    assert a == c  # evaluation-to-evaluation determinism

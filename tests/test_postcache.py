@@ -144,6 +144,18 @@ def test_attach_survives_split_conf_drift(spark, index200, tmp_path):
             for r in search(spark, warm, q).collect()
         ]
         assert got == plain
+        # and against a DIFFERENT partition count entirely (coalesce merges
+        # whole shards — doc-disjointness preserved, every pid remapped):
+        # the content-addressed assignment must redo the mapping
+        import dataclasses
+
+        cold_c = dataclasses.replace(cold_b, doc_blocks=cold_b.doc_blocks.coalesce(3))
+        warm_c = attach_posting_cache(cold_c, cache)
+        got_c = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search(spark, warm_c, q).collect()
+        ]
+        assert got_c == plain
     finally:
         spark.conf.set(key, old)
         cache.hot_blocks.unpersist()
