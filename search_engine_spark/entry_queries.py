@@ -188,6 +188,72 @@ def _q_tokenize(spark, sf_dir):
 SQL_TOKENIZE = f"WITH {SQL_TOK} SELECT doc_id::BIGINT AS doc_id, pos::BIGINT AS pos, term FROM tok"
 
 
+# FMM-safe dictionary words for the CJK oracle row: all are 2-char entries of
+# cjk_dict.CJK_WORDS, and concatenating ANY ordered pair segments back to
+# exactly that pair (no 3/4-char dictionary word begins at a word boundary of
+# the synthesized stream, so forward maximum matching cannot overshoot, and
+# 2-char matches emit no CutForSearch sub-words). Verified against the full
+# dictionary by tests/test_mix_tokenizer.py::test_cjk_oracle_words_fmm_safe.
+CJK_ORACLE_WORDS: tuple[str, ...] = (
+    "我们", "你们", "他们", "她们", "它们", "大家", "自己", "别人",
+    "先生", "女士", "小姐", "朋友", "孩子", "父母", "爸爸", "妈妈",
+    "哥哥", "姐姐", "弟弟", "妹妹", "爷爷", "奶奶", "丈夫", "妻子",
+    "家人", "家庭", "同学", "同事", "邻居", "客人", "人们", "人民",
+)
+
+
+def _q_cjk_segment(spark, sf_dir):
+    """I3 hard-signal row: the REAL mixed lexer + FMM CutForSearch segmenter
+    (txt-seg/lexer.mix.l + txt-seg/txt-seg.cpp:49-78) over a deterministic
+    CJK corpus synthesized from doc_id arithmetic (testdata has no CJK).
+
+    Each doc's text = its first English token + an UNSPACED run of 4-6
+    dictionary words; the engine must recover the word boundaries. The
+    oracle predicts the exact (doc_id, pos, term) stream closed-form — it
+    never runs a segmenter — so a match proves the mixed run capture, the
+    maximum-matching segmentation, and the position assignment together.
+    """
+    from .functions.mix_tokenizer import mix_tokens_frame
+
+    docs = documents(spark, sf_dir).where(F.length("text") > 0)
+    arr = F.array(*[F.lit(w) for w in CJK_ORACLE_WORDS])
+    n = (F.col("doc_id") % 3 + 4).cast("int")
+    cjk = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda j: F.element_at(
+                arr, ((F.col("doc_id") * 7 + j * 13) % 32 + 1).cast("int")
+            ),
+        ),
+    )
+    synth = docs.select(
+        "doc_id",
+        F.concat(F.split("text", " ").getItem(0), F.lit(" "), cjk).alias("text"),
+    )
+    return mix_tokens_frame(synth).select(
+        F.col("doc_id").cast("long"), F.col("pos").cast("long"), "term"
+    )
+
+
+def _sql_cjk_segment() -> str:
+    values = ", ".join(f"({i}, '{w}')" for i, w in enumerate(CJK_ORACLE_WORDS))
+    return f"""
+WITH w(i, word) AS (SELECT * FROM (VALUES {values}) AS t(i, word)),
+d AS (SELECT doc_id, lower(split_part(text, ' ', 1)) AS eng,
+             doc_id % 3 + 4 AS n
+      FROM documents WHERE length(text) > 0),
+js(j) AS (SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5)) AS t(j))
+SELECT doc_id::BIGINT AS doc_id, pos::BIGINT AS pos, term FROM (
+  SELECT doc_id, 0 AS pos, eng AS term FROM d
+  UNION ALL
+  SELECT d.doc_id, js.j + 1 AS pos, w.word AS term
+  FROM d JOIN js ON js.j < d.n
+       JOIN w ON w.i = (d.doc_id * 7 + js.j * 13) % 32
+)
+"""
+
+
 def _q_doc_meta(spark, sf_dir):
     idx = get_index(spark, sf_dir)
     return idx.doc_meta.select(F.col("doc_id").cast("long"), F.col("doclen").cast("long"))
@@ -1678,6 +1744,7 @@ FROM nat JOIN top USING (n_name) WHERE top.rn <= 2"""
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     # --- fulltext engine (SURVEY §2.1/2.2) ---
     "ft_tokenize": (_q_tokenize, SQL_TOKENIZE),
+    "ft_cjk_segment": (_q_cjk_segment, _sql_cjk_segment()),
     "ft_doc_meta": (_q_doc_meta, SQL_DOC_META),
     "ft_term_stats": (_q_term_stats, SQL_TERM_STATS),
     "ft_collection_stats": (_q_collection_stats, SQL_COLLECTION_STATS),

@@ -86,7 +86,18 @@ def assign_doc_ids(
         at = np.searchsorted(np.asarray(b, dtype=object), vals.to_numpy(), side="right")
         return pd.Series(at.astype(np.int32))
 
-    bucketed = docs.withColumn("_bkt", _bucket(F.col(order_col)))
+    # Exchange on _bkt at n_buckets granularity BEFORE the window: the
+    # window's ClusteredDistribution(_bkt) is then already satisfied, so
+    # this is the SAME single shuffle the window would insert — but it
+    # emits n_buckets (4/core) output partitions instead of
+    # spark.sql.shuffle.partitions (1/core here). Downstream stages
+    # (doclen, fused invert+pack) inherit this layout; at 1 task/core a
+    # single heavy partition straggles the whole build stage (measured:
+    # the fused pack ran 73s at local[32] on the 1/core layout vs 28s on
+    # this one, 400k docs).
+    bucketed = docs.withColumn("_bkt", _bucket(F.col(order_col))).repartition(
+        n_buckets, "_bkt"
+    )
     counts = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)))

@@ -153,3 +153,25 @@ def test_expanded_dict_closes_small_dict_undersegmentation():
         "我", "用", "机器", "学习", "机器学习", "做", "研究",
     ]
     assert mix_tokenize_text("人工智能改变世界") == ["人工", "智能", "人工智能", "改变", "世界"]
+
+
+def test_cjk_oracle_words_fmm_safe():
+    """The ft_cjk_segment oracle predicts segmentation closed-form, which is
+    only sound if forward maximum matching can NEVER overshoot a boundary of
+    the synthesized word stream: for every ordered pair (x, y) of oracle
+    words, no dictionary entry equals x+y[0] (3-char overshoot) or x+y
+    (4-char overshoot). Checked against the FULL dictionary, then re-verified
+    behaviorally on every pair through the real segmenter."""
+    import itertools
+
+    from search_engine_spark.entry_queries import CJK_ORACLE_WORDS
+    from search_engine_spark.functions.cjk_dict import CJK_WORDS
+
+    dictionary = set(CJK_WORDS)
+    assert len(CJK_ORACLE_WORDS) == 32
+    for w in CJK_ORACLE_WORDS:
+        assert len(w) == 2 and w in dictionary, w
+    for x, y in itertools.product(CJK_ORACLE_WORDS, repeat=2):
+        assert (x + y[0]) not in dictionary, (x, y)
+        assert (x + y) not in dictionary, (x, y)
+        assert [w for w, _ in fmm_segment(x + y)] == [x, y]
