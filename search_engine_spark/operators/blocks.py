@@ -27,6 +27,7 @@ the query path merges transparently.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -73,32 +74,135 @@ UNPACKED_SCHEMA = StructType(
 )
 
 
-def _pack_group(term: str, doc_ids, tfs, doclens, pos_bytes, pos_boff, avgdl: float, block: int):
-    """Pack one term's (sorted) run of posting entries into block rows.
+def _emit_blocks_arrow(
+    term_idx: np.ndarray,
+    vocab,
+    e_doc: np.ndarray,
+    e_tf: np.ndarray,
+    e_dl: np.ndarray,
+    pos_bytes,
+    entry_boff: np.ndarray,
+    avgdl: float,
+    block: int,
+    max_batch_bytes: int = 512 << 20,
+):
+    """Entries (sorted by term-run, doc ascending) -> packed block
+    RecordBatches with ZERO per-block Python.
 
-    ``pos_bytes``/``pos_boff``: the batch's flat pre-encoded varbyte
-    position stream + per-entry byte offsets — the block's positions_blob
-    is a pure byte slice (varbyte is self-delimiting; per-entry value
-    counts are the stored tfs).
+    The earlier per-block loop (``_pack_group`` + ``RecordBatch.from_pylist``)
+    spent ~300us of Python/numpy-call overhead per block row — at 400k docs
+    that was ~60% of the fused build kernel. Here every stream (docID deltas,
+    tfs, doclens) is varbyte-encoded ONCE over the whole partition and each
+    block's blob is a pure byte-range of that stream, assembled into Arrow
+    binary columns directly from offset buffers:
+
+    - block boundaries: run starts (term changes) union every ``block``-th
+      entry within a run — so blocks tile the entry sequence contiguously
+      and the per-stream offsets at boundary entries ARE the Arrow binary
+      offset vector (no copies, no per-block slicing);
+    - docID delta reset at block starts happens vectorized (the diff array
+      is overwritten at boundary positions with the absolute id before the
+      single vb_encode call);
+    - block_max_tfn is one ``np.maximum.reduceat`` over the entry tfn array.
+
+    ``vocab``: list/Array of term strings indexed by ``term_idx``.
+    ``entry_boff``: per-entry byte offsets (len n+1) into ``pos_bytes`` —
+    entry position blobs must tile that buffer in entry order.
+    Emission is sliced so every Arrow binary column stays < 2^31 bytes
+    (int32 offsets) and well under ``max_batch_bytes``.
     """
-    n = len(doc_ids)
-    for s in range(0, n, block):
-        e = min(s + block, n)
-        ids = doc_ids[s:e].astype(np.uint64)
-        tf = tfs[s:e].astype(np.uint64)
-        dl = doclens[s:e].astype(np.uint64)
-        bmt = float(tf_norm_np(tf.astype(np.float32), dl.astype(np.float32), avgdl).max())
-        yield {
-            "term": term,
-            "first_doc_id": int(ids[0]),
-            "last_doc_id": int(ids[-1]),
-            "n": int(e - s),
-            "doc_ids_blob": codec.encode_ids(ids),
-            "tfs_blob": codec.vb_encode(tf),
-            "doclens_blob": codec.vb_encode(dl),
-            "positions_blob": pos_bytes[pos_boff[s] : pos_boff[e]].tobytes(),
-            "block_max_tfn": bmt,
-        }
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(e_doc)
+    if n == 0:
+        return
+    run_start = np.r_[True, term_idx[1:] != term_idx[:-1]]
+    run_id = np.cumsum(run_start) - 1
+    run_starts = np.flatnonzero(run_start)
+    within = np.arange(n, dtype=np.int64) - run_starts[run_id]
+    bstart = np.flatnonzero(run_start | (within % block == 0))
+    bounds = np.r_[bstart, n]  # blocks tile the entries: end[j] == start[j+1]
+    bend = bounds[1:]
+    first_doc = e_doc[bstart]
+    last_doc = e_doc[bend - 1]
+    bn = (bend - bstart).astype(np.int32)
+    tfn = tf_norm_np(
+        e_tf.astype(np.float32), e_dl.astype(np.float32), avgdl
+    ).astype(np.float32)
+    bmax = np.maximum.reduceat(tfn, bstart)
+
+    d = np.empty(n, dtype=np.uint64)
+    d[0] = e_doc[0]
+    np.subtract(e_doc[1:], e_doc[:-1], out=d[1:], casting="unsafe")
+    d[bstart] = e_doc[bstart]  # absolute id at every block start
+    ids_stream = codec.vb_encode(d)
+    ids_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(codec.vb_lengths(d), out=ids_off[1:])
+    tf_u = e_tf.astype(np.uint64)
+    tfs_stream = codec.vb_encode(tf_u)
+    tfs_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(codec.vb_lengths(tf_u), out=tfs_off[1:])
+    dl_u = e_dl.astype(np.uint64)
+    dls_stream = codec.vb_encode(dl_u)
+    dls_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(codec.vb_lengths(dl_u), out=dls_off[1:])
+    pos_np = np.asarray(pos_bytes, dtype=np.uint8)
+    entry_boff = np.asarray(entry_boff, dtype=np.int64)
+
+    vocab_pa = vocab if isinstance(vocab, pa.Array) else pa.array(vocab, type=pa.string())
+    nblocks = len(bstart)
+    # slice the emit so the fattest stream stays < max_batch_bytes per batch
+    sl_at = [0]
+    pos_at_bound = entry_boff[bounds]
+    while sl_at[-1] < nblocks:
+        lo = sl_at[-1]
+        cap = pos_at_bound[lo] + max_batch_bytes
+        hi = int(np.searchsorted(pos_at_bound, cap, side="right") - 1)
+        sl_at.append(max(hi, lo + 1) if hi < nblocks else nblocks)
+
+    def _bin_col(stream: bytes, off: np.ndarray, lo_b: int, hi_b: int) -> "pa.Array":
+        o = off[bounds[lo_b : hi_b + 1]]
+        data = stream[o[0] : o[-1]]
+        off32 = (o - o[0]).astype(np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(), hi_b - lo_b, [None, pa.py_buffer(off32.tobytes()), pa.py_buffer(data)]
+        )
+
+    pos_stream = pos_np.tobytes()
+    for lo_b, hi_b in zip(sl_at, sl_at[1:]):
+        yield pa.RecordBatch.from_arrays(
+            [
+                pc.take(vocab_pa, pa.array(term_idx[bstart[lo_b:hi_b]], type=pa.int64())),
+                pa.array(first_doc[lo_b:hi_b], type=pa.int64()),
+                pa.array(last_doc[lo_b:hi_b], type=pa.int64()),
+                pa.array(bn[lo_b:hi_b], type=pa.int32()),
+                _bin_col(ids_stream, ids_off, lo_b, hi_b),
+                _bin_col(tfs_stream, tfs_off, lo_b, hi_b),
+                _bin_col(dls_stream, dls_off, lo_b, hi_b),
+                _bin_col(pos_stream, entry_boff, lo_b, hi_b),
+                pa.array(bmax[lo_b:hi_b], type=pa.float32()),
+            ],
+            schema=_PA_BLOCK_SCHEMA(),
+        )
+
+
+def _PA_BLOCK_SCHEMA():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("term", pa.string()),
+            ("first_doc_id", pa.int64()),
+            ("last_doc_id", pa.int64()),
+            ("n", pa.int32()),
+            ("doc_ids_blob", pa.binary()),
+            ("tfs_blob", pa.binary()),
+            ("doclens_blob", pa.binary()),
+            ("positions_blob", pa.binary()),
+            ("block_max_tfn", pa.float32()),
+        ]
+    )
 
 
 def pack_blocks(
@@ -164,32 +268,17 @@ def pack_blocks(
             bufs = pvb.buffers()
             raw_off = np.frombuffer(bufs[1], dtype=np.int32)
             pos_boff = raw_off[pvb.offset : pvb.offset + len(pvb) + 1].astype(np.int64)
-            pos_bytes = np.frombuffer(bufs[2], dtype=np.uint8)
-            rows: list[dict] = []
-            bounds = np.flatnonzero(np.r_[True, tidx[1:] != tidx[:-1], True])
-            for i in range(len(bounds) - 1):
-                s, e = bounds[i], bounds[i + 1]
-                rows.extend(
-                    _pack_group(
-                        vocab[tidx[s]], doc_ids[s:e], tfs[s:e], dls[s:e],
-                        pos_bytes, pos_boff[s : e + 1],
-                        avgdl, block,
-                    )
-                )
-            if rows:
-                yield pa.RecordBatch.from_pylist(rows, schema=pa.schema(
-                    [
-                        ("term", pa.string()),
-                        ("first_doc_id", pa.int64()),
-                        ("last_doc_id", pa.int64()),
-                        ("n", pa.int32()),
-                        ("doc_ids_blob", pa.binary()),
-                        ("tfs_blob", pa.binary()),
-                        ("doclens_blob", pa.binary()),
-                        ("positions_blob", pa.binary()),
-                        ("block_max_tfn", pa.float32()),
-                    ]
-                ))
+            # entry position blobs must tile a contiguous buffer from 0 for
+            # the vectorized pack; a sliced Arrow array view may not start
+            # at byte 0, so rebase
+            pos_bytes = np.frombuffer(bufs[2], dtype=np.uint8)[
+                pos_boff[0] : pos_boff[-1]
+            ]
+            pos_boff = pos_boff - pos_boff[0]
+            yield from _emit_blocks_arrow(
+                tidx, tdict.dictionary, doc_ids.astype(np.int64), tfs, dls,
+                pos_bytes, pos_boff, avgdl, block,
+            )
 
     return arranged.mapInArrow(pack, BLOCK_SCHEMA)
 
@@ -335,80 +424,98 @@ def invert_pack_blocks(
             "doc_id"
         )
 
-    def fused(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+    chunk_docs = int(os.environ.get("SPARK_GRAFT_INVERT_CHUNK", "10000"))
+
+    def _invert_emit_chunk(doc_ids: np.ndarray, tok_lists: list):
+        """Tokenized docs -> packed block RecordBatches for one doc chunk.
+
+        A chunk is a contiguous doc-id range, so emitting per chunk keeps
+        every term's blocks doc-ascending and non-overlapping across the
+        partition; a term spanning chunks just yields one extra partial
+        block (same property the unfused pipeline had per Arrow batch),
+        which no consumer observes. One stable argsort on the term index
+        is the whole inversion: the token stream already arrives in
+        (doc asc, pos asc) order, so stability gives (term, doc, pos)."""
         import pyarrow as pa
 
-        out_schema = pa.schema(
-            [
-                ("term", pa.string()),
-                ("first_doc_id", pa.int64()),
-                ("last_doc_id", pa.int64()),
-                ("n", pa.int32()),
-                ("doc_ids_blob", pa.binary()),
-                ("tfs_blob", pa.binary()),
-                ("doclens_blob", pa.binary()),
-                ("positions_blob", pa.binary()),
-                ("block_max_tfn", pa.float32()),
-            ]
+        lens = np.fromiter(
+            (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
         )
+        total = int(lens.sum())
+        if total == 0:
+            return
+        flat = pa.array([t for toks in tok_lists for t in toks], type=pa.string())
+        d = flat.dictionary_encode()
+        tidx = d.indices.to_numpy().astype(np.int64)
+        vocab = d.dictionary
+        doc_rep = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        pos = np.arange(total, dtype=np.int64) - starts[doc_rep]
+        order = np.argsort(tidx, kind="stable")
+        gt, gd, gp = tidx[order], doc_rep[order], pos[order]
+        newgrp = np.r_[True, (gt[1:] != gt[:-1]) | (gd[1:] != gd[:-1])]
+        gstart = np.flatnonzero(newgrp)
+        gend = np.r_[gstart[1:], total]
+        raw_tf = gend - gstart
+        tf = np.minimum(raw_tf, tf_cap).astype(np.int64)
+        # keep only the first tf positions of each entry (the 2048 cap)
+        grp_id = np.cumsum(newgrp) - 1
+        within = np.arange(total, dtype=np.int64) - gstart[grp_id]
+        keep = within < tf[grp_id]
+        pos_vals = gp[keep].astype(np.uint64)
+        pos_bytes = np.frombuffer(codec.vb_encode(pos_vals), dtype=np.uint8)
+        blens = codec.vb_lengths(pos_vals)
+        byte_cum = np.zeros(len(pos_vals) + 1, dtype=np.int64)
+        np.cumsum(blens, out=byte_cum[1:])
+        val_off = np.zeros(len(tf) + 1, dtype=np.int64)
+        np.cumsum(tf, out=val_off[1:])
+        yield from _emit_blocks_arrow(
+            gt[gstart],
+            vocab,
+            doc_ids[gd[gstart]].astype(np.int64),
+            tf,
+            lens[gd[gstart]],
+            pos_bytes,
+            byte_cum[val_off],
+            avgdl,
+            block,
+        )
+
+    def fused(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        # invert + pack in bounded doc chunks: the token-level working set
+        # (flat token array, argsort, grouping gathers) stays allocation-
+        # friendly and cache-sized regardless of partition size, and the
+        # packed blocks stream out incrementally — peak memory is one
+        # chunk's tokens, never the partition's.
+        pending_ids: list[np.ndarray] = []
+        pending_toks: list = []
+        pending_n = 0
+
+        def _flush():
+            nonlocal pending_ids, pending_toks, pending_n
+            if not pending_n:
+                return iter(())
+            out = _invert_emit_chunk(np.concatenate(pending_ids), pending_toks)
+            pending_ids, pending_toks, pending_n = [], [], 0
+            return out
+
         for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            doc_ids = batch.column(0).to_numpy()
-            texts = batch.column(1).to_pylist()
-            tok_lists = [tokenize_text(t) if isinstance(t, str) else [] for t in texts]
-            lens = np.fromiter(
-                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
-            )
-            total = int(lens.sum())
-            if total == 0:
-                continue
-            flat = pa.array([t for toks in tok_lists for t in toks], type=pa.string())
-            d = flat.dictionary_encode()
-            tidx = d.indices.to_numpy().astype(np.int64)
-            vocab = d.dictionary.to_pylist()
-            doc_rep = np.repeat(np.arange(len(doc_ids), dtype=np.int64), lens)
-            starts = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            pos = np.arange(total, dtype=np.int64) - starts[doc_rep]
-            # sort by (term, doc, pos): term runs contiguous, docs ascending
-            # within each run (input rows are doc_id-sorted), positions
-            # ascending within each entry
-            order = np.lexsort((pos, doc_rep, tidx))
-            gt, gd, gp = tidx[order], doc_rep[order], pos[order]
-            newgrp = np.r_[True, (gt[1:] != gt[:-1]) | (gd[1:] != gd[:-1])]
-            gstart = np.flatnonzero(newgrp)
-            gend = np.r_[gstart[1:], total]
-            raw_tf = gend - gstart
-            tf = np.minimum(raw_tf, tf_cap).astype(np.int64)
-            # keep only the first tf positions of each entry (the 2048 cap)
-            grp_id = np.cumsum(newgrp) - 1
-            within = np.arange(total, dtype=np.int64) - gstart[grp_id]
-            keep = within < tf[grp_id]
-            pos_vals = gp[keep].astype(np.uint64)
-            pos_bytes = np.frombuffer(codec.vb_encode(pos_vals), dtype=np.uint8)
-            blens = codec.vb_lengths(pos_vals)
-            byte_cum = np.zeros(len(pos_vals) + 1, dtype=np.int64)
-            np.cumsum(blens, out=byte_cum[1:])
-            val_off = np.zeros(len(tf) + 1, dtype=np.int64)
-            np.cumsum(tf, out=val_off[1:])
-            entry_boff = byte_cum[val_off]
-            e_term = gt[gstart]
-            e_doc = doc_ids[gd[gstart]].astype(np.int64)
-            e_dl = lens[gd[gstart]]
-            rows: list[dict] = []
-            runs = np.flatnonzero(np.r_[True, e_term[1:] != e_term[:-1], True])
-            for i in range(len(runs) - 1):
-                s, e = runs[i], runs[i + 1]
-                rows.extend(
-                    _pack_group(
-                        vocab[e_term[s]], e_doc[s:e], tf[s:e], e_dl[s:e],
-                        pos_bytes, entry_boff[s : e + 1],
-                        avgdl, block,
-                    )
+            nrows = batch.num_rows
+            at = 0
+            while at < nrows:
+                take = min(chunk_docs - pending_n, nrows - at)
+                sl = batch.slice(at, take)
+                pending_ids.append(sl.column(0).to_numpy())
+                pending_toks.extend(
+                    tokenize_text(t) if isinstance(t, str) else []
+                    for t in sl.column(1).to_pylist()
                 )
-            if rows:
-                yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+                pending_n += take
+                at += take
+                if pending_n >= chunk_docs:
+                    yield from _flush()
+        yield from _flush()
 
     return arranged.mapInArrow(fused, BLOCK_SCHEMA)
 
@@ -428,11 +535,20 @@ def term_stats_from_blocks(blocks: DataFrame) -> DataFrame:
             if batch.num_rows == 0:
                 continue
             cols = {nm: batch.column(i) for i, nm in enumerate(batch.schema.names)}
-            tf_sums = np.fromiter(
-                (int(codec.vb_decode(b.as_py()).sum()) for b in cols["tfs_blob"]),
-                dtype=np.int64,
-                count=batch.num_rows,
-            )
+            # ONE vb_decode over the whole batch's concatenated tfs stream
+            # (varbyte is self-delimiting; each row's value count is its
+            # entry count n), then per-row segment sums — no per-row Python
+            tfs_col = cols["tfs_blob"]
+            bufs = tfs_col.buffers()
+            raw_off = np.frombuffer(bufs[1], dtype=np.int32)
+            boff = raw_off[tfs_col.offset : tfs_col.offset + len(tfs_col) + 1]
+            stream = np.frombuffer(bufs[2], dtype=np.uint8)[boff[0] : boff[-1]]
+            vals = codec.vb_decode(stream).astype(np.int64)
+            n = cols["n"].to_numpy().astype(np.int64)
+            starts = np.zeros(len(n), dtype=np.int64)
+            np.cumsum(n[:-1], out=starts[1:])
+            tf_sums = np.add.reduceat(vals, starts)
+            tf_sums[n == 0] = 0
             yield pa.RecordBatch.from_arrays(
                 [
                     cols["term"],

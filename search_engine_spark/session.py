@@ -65,6 +65,18 @@ def get_spark(
         .config("spark.driver.memory", heap)
         .config("spark.driver.extraJavaOptions", java_opts)
     )
+    # numpy madvise(MADV_HUGEPAGE)s every allocation >= 4MB; under THP
+    # defrag=madvise (this kernel's setting) each first touch of such a
+    # region runs SYNCHRONOUS hugepage compaction, which on a fragmented
+    # host stalls 10-20x (measured here: first vb_encode over a 5M-value
+    # array 8.3s vs 0.4s with the madvise off — and every fresh Python
+    # worker re-pays it on its first task's large temporaries). Large-page
+    # TLB wins are irrelevant next to that; default it off for all Python
+    # workers and the driver. NUMPY_MADVISE_HUGEPAGE in the caller's env
+    # wins over the default.
+    np_hp = os.environ.get("NUMPY_MADVISE_HUGEPAGE", "0")
+    os.environ["NUMPY_MADVISE_HUGEPAGE"] = np_hp
+    builder = builder.config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", np_hp)
     # Shuffle/spill files must land on storage that scales with concurrent
     # writers. On a real cluster SPARK_LOCAL_DIRS points at executor-local
     # NVMe; this sandbox's single virtio disk anti-scales with writer count
