@@ -272,14 +272,30 @@ def _run_workload(cpus: int, sf_dir: str, n_docs: int) -> dict:
         spark.catalog.clearCache()
     corpus = corpus.persist()
     corpus.count()
-    t0 = time.time()
-    idx = build_index(spark, corpus)
-    idx.blocks.write.mode("overwrite").parquet(_OUT_DIR + "/blocks")
-    if idx.doc_blocks is not None and idx.doc_blocks is not idx.blocks:
-        idx.doc_blocks.write.mode("overwrite").parquet(_OUT_DIR + "/doc_blocks")
-    idx.term_stats.write.mode("overwrite").parquet(_OUT_DIR + "/term_stats")
-    idx.doc_meta.write.mode("overwrite").parquet(_OUT_DIR + "/doc_meta")
-    build_s = time.time() - t0
+    # best-of-N like every other number here: the build was the one
+    # remaining single-shot measurement, and on this shared VM a single
+    # run carries 2-3x co-tenant noise (measured back-to-back identical
+    # 400k builds: 21.9s vs 78.7s)
+    build_reps = int(os.environ.get("BENCH_BUILD_REPEATS", "2"))
+    build_s = None
+    idx = None
+    for rep in range(build_reps):
+        if idx is not None:
+            # free the previous rep's persisted frames (build_index caches
+            # the doc slice, doc_meta and blocks internally), then re-prime
+            # the corpus cache outside the timer
+            spark.catalog.clearCache()
+            corpus = corpus.persist()
+            corpus.count()
+        t0 = time.time()
+        idx = build_index(spark, corpus)
+        idx.blocks.write.mode("overwrite").parquet(_OUT_DIR + "/blocks")
+        if idx.doc_blocks is not None and idx.doc_blocks is not idx.blocks:
+            idx.doc_blocks.write.mode("overwrite").parquet(_OUT_DIR + "/doc_blocks")
+        idx.term_stats.write.mode("overwrite").parquet(_OUT_DIR + "/term_stats")
+        idx.doc_meta.write.mode("overwrite").parquet(_OUT_DIR + "/doc_meta")
+        dt = time.time() - t0
+        build_s = dt if build_s is None else min(build_s, dt)
     out["index_build_sec"] = round(build_s, 3)
     out["index_docs_per_sec"] = round(n_docs / build_s, 1)
     out["n_docs"] = n_docs

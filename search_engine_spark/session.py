@@ -38,9 +38,22 @@ def get_spark(
         "SPARK_DRIVER_MEMORY", f"{min(2 * int(cpus), mem_cap_gb, 64)}g"
     )
     # pin the initial heap: growing a multi-GB heap mid-build costs a burst
-    # of full GCs exactly while 32 tasks are allocating. User-supplied driver
-    # Java options (extra_conf) are appended, not clobbered.
-    java_opts = f"-Xms{heap}"
+    # of full GCs exactly while 32 tasks are allocating. The young gen is
+    # capped at 10% of the heap (default: up to 60%): with a multi-10GB
+    # heap G1 otherwise rotates young allocation through fresh never-
+    # touched regions, and on a host with slow page zeroing (~1.5GB/s
+    # first-touch here) that shows up as erratic multi-second stalls in
+    # SMALL jobs (measured on a 5k-doc projection: 0.5..22s bimodal
+    # uncapped vs 0.7-1.0s steady capped, interleaved A/B, all GC pauses
+    # < 5ms — page faults, not GC). A bounded young gen reuses already-
+    # faulted pages; the big allocations of the build path are humongous
+    # objects that bypass the young gen, so build throughput is unaffected
+    # (interleaved 400k-doc builds: capped 22.8/33.8/33.8s vs uncapped
+    # 21.9/41.0/78.7s). User-supplied driver Java options (extra_conf) are
+    # appended, not clobbered.
+    java_opts = (
+        f"-Xms{heap} -XX:+UnlockExperimentalVMOptions -XX:G1MaxNewSizePercent=10"
+    )
     extra_conf = dict(extra_conf or {})
     if "spark.driver.extraJavaOptions" in extra_conf:
         java_opts = java_opts + " " + extra_conf.pop("spark.driver.extraJavaOptions")
@@ -77,6 +90,22 @@ def get_spark(
     np_hp = os.environ.get("NUMPY_MADVISE_HUGEPAGE", "0")
     os.environ["NUMPY_MADVISE_HUGEPAGE"] = np_hp
     builder = builder.config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", np_hp)
+    # glibc munmaps every allocation above the (dynamic) mmap threshold on
+    # free, so each large numpy temporary in a hot kernel re-pays kernel
+    # page zeroing on first touch — and this host zeroes at only ~1.5GB/s
+    # single-threaded, which 32 concurrent workers contend for. Raising the
+    # mmap threshold keeps big buffers on the reusable sbrk heap (faulted
+    # once per worker, then recycled): measured 1.7x on a repeated 256MB
+    # alloc+touch cycle single-threaded, more under contention. Trim
+    # threshold stops the heap from being returned to the kernel between
+    # tasks. Caller's env wins.
+    for var, dflt in (
+        ("MALLOC_MMAP_THRESHOLD_", str(1 << 30)),
+        ("MALLOC_TRIM_THRESHOLD_", str(256 << 20)),
+    ):
+        val = os.environ.get(var, dflt)
+        os.environ[var] = val
+        builder = builder.config(f"spark.executorEnv.{var}", val)
     # Shuffle/spill files must land on storage that scales with concurrent
     # writers. On a real cluster SPARK_LOCAL_DIRS points at executor-local
     # NVMe; this sandbox's single virtio disk anti-scales with writer count
