@@ -529,7 +529,9 @@ def _mixed_shard_search(
     ]
     avgdl = float(index.avgdl)
     bc = spark.sparkContext.broadcast(minfo)
-    blocks = index.doc_blocks.filter(F.col("term").isin(terms))
+    from ..plans.serve import serving_coalesce
+
+    blocks = serving_coalesce(index.doc_blocks).filter(F.col("term").isin(terms))
     schema = (
         "doc_id long, bm25 double, match_dim double, max_math double, "
         "prox double, score double"

@@ -171,8 +171,17 @@ def attach_posting_cache(index, cache: PostingCache):
     """
     import dataclasses
 
+    from .serve import serving_coalesce
+
     blocks = index.doc_blocks if index.doc_blocks is not None else index.blocks
-    cold = served_blocks(index, cache)
+    # normalize to the SERVING layout before measuring bounds: shard_search
+    # coalesces the block frame to one shard per core (serve.serving_coalesce,
+    # deterministic whole-parent grouping), so the pool's pid keys must be
+    # derived from the same layout. ``cold`` is a narrow anti-join over the
+    # same parent partitioning, so the identical coalesce target yields the
+    # identical pid grouping.
+    blocks = serving_coalesce(blocks)
+    cold = serving_coalesce(served_blocks(index, cache))
     bounds = partition_doc_ranges(blocks)
     flat = sorted(
         (int(lo), int(hi), pid) for pid, iv in bounds.items() for lo, hi in iv

