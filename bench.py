@@ -586,11 +586,12 @@ def _bench_md(reports: list, results: dict, n_docs: int) -> str:
         "hash slice of that corpus (pairwise candidate volume is superlinear),",
         "ANN over a synthetic 100k-vector embedding table.",
         "",
-        "The ft_bm25_* rows are SINGLE-query latency: one query fans out to",
-        "4 tasks/core shards, so more cores = more (tiny) tasks per query and",
-        "scheduling overhead can dominate — the classic latency/throughput",
-        "trade. The north-rule serving metric is the batched QPS row above,",
-        "where concurrent queries share each shard pass.",
+        "The ft_bm25_* rows are SINGLE-query latency over one serving shard",
+        "per core (plans/serve.serving_coalesce normalizes the build's",
+        "4-tasks/core block layout down to core count at query time, so the",
+        "per-task batch-kernel overhead is paid once per core, not 4x). The",
+        "north-rule serving metric is the batched QPS row above, where",
+        "concurrent queries share each shard pass.",
         "",
         f"| query | {cols} | {pair_cols} |",
         "|---|" + "---|" * (len(levels) + len(reports)),
@@ -640,6 +641,15 @@ def _bench_md(reports: list, results: dict, n_docs: int) -> str:
         "   (identical 261MB write: 23.5s tmpfs vs 52.7s /tmp at 32 threads).",
         "   spark.local.dir now defaults to tmpfs in the sandbox — the",
         "   stand-in for the executor-local NVMe a real cluster provides.",
+        "3. *Slow page zeroing*: this host faults fresh anonymous memory in at",
+        "   ~1.5GB/s, so anything that touches never-touched pages (JVM young",
+        "   gen roaming a large pinned heap, glibc re-mmapping large numpy",
+        "   temporaries every task) stalls erratically under concurrency. The",
+        "   session factory caps the G1 young gen at 10% of the heap and",
+        "   raises the worker malloc mmap threshold so hot buffers are",
+        "   faulted once and reused (see session.py) — measured interleaved",
+        "   A/B: a 5k-doc projection went from 0.5..22s bimodal to a steady",
+        "   0.7-1.0s, and build variance tightened accordingly.",
         "",
         "Phase-level numbers are best-of-N; any phase still below 1x at the",
         "stress pair's high level is called out here rather than papered over:",

@@ -7,8 +7,9 @@ engine: build/save/load an index, run term / math / mixed queries, and
 render the daemon's response shape
 ``{ret_code, ret_str, tot_pages, hits: [{docid, score, title, url,
 snippet}]}`` with 10 hits per page (search/config.h:30) out of the
-155-deep rank set (search/config.h:29). The HTTP listener itself is out of
-dataflow scope — any web framework can wrap ``query_json``.
+155-deep rank set (search/config.h:29). The HTTP listener lives in
+``searchd.py`` (stdlib http.server; POST /search on 8921 like
+searchd/config.h) and wraps ``query_json``.
 """
 
 from __future__ import annotations

@@ -1,0 +1,64 @@
+"""HTTP daemon surface: reference request JSON in, reference hit JSON out
+(searchd/config.h ports/URI, searchd/utils.c parse_json_qry shape)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from search_engine_spark.corpus import synth_corpus, vocab_word
+from search_engine_spark.engine import SearchEngine
+from search_engine_spark.searchd import keywords_to_qtext, serve
+
+
+@pytest.fixture(scope="module")
+def daemon(spark):
+    eng = SearchEngine.build(spark, synth_corpus(spark, 200).cache())
+    srv = serve(eng, port=18921, block=False)
+    yield "http://127.0.0.1:18921/search"
+    srv.shutdown()
+
+
+def _post(url: str, payload: dict) -> dict:
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return json.loads(resp.read())
+
+
+def test_search_hits_shape(daemon):
+    out = _post(daemon, {
+        "page": 1,
+        "kw": [{"type": "term", "str": f"{vocab_word(1)} {vocab_word(2)}"}],
+    })
+    assert out["ret_code"] == 0 and out["ret_str"] == "successful search"
+    assert out["tot_pages"] >= 1 and len(out["hits"]) == 10
+    hit = out["hits"][0]
+    assert set(hit) == {"docid", "score", "title", "url", "snippet"}
+    assert '<em class="hl">' in hit["snippet"]  # searchd/config.h:7 highlight tag
+
+
+def test_pagination_pages_differ(daemon):
+    q = {"kw": [{"type": "term", "str": vocab_word(1)}]}
+    p1 = _post(daemon, {**q, "page": 1})
+    p2 = _post(daemon, {**q, "page": 2})
+    assert p1["tot_pages"] == p2["tot_pages"] >= 2
+    assert [h["docid"] for h in p1["hits"]] != [h["docid"] for h in p2["hits"]]
+
+
+def test_empty_and_malformed_queries(daemon):
+    assert _post(daemon, {"page": 1, "kw": []})["ret_code"] == 2
+    assert _post(daemon, {"kw": [{"type": "term", "str": "x"}]})["ret_code"] == 2  # no page
+    assert _post(daemon, {"page": 1})["ret_code"] == 2
+
+
+def test_keywords_to_qtext_tex_roundtrip():
+    q = keywords_to_qtext([
+        {"type": "term", "str": "see"},
+        {"type": "tex", "str": "\\frac{a}{b}"},
+    ])
+    assert q == "see [imath]\\frac{a}{b}[/imath]"
