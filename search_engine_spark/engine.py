@@ -27,7 +27,33 @@ from .plans.snippet import snippets_for
 
 RES_PER_PAGE = 10  # search/config.h:30 DEFAULT_RES_PER_PAGE
 
-RET_STR = {0: "successful search", 1: "no hit found", 2: "empty query"}
+# the reference daemon's return-code enum + strings, verbatim
+# (searchd/utils.h:9-24 searchd_ret_str_map)
+RET_SUCC = 0
+RET_EMPTY_QRY = 1
+RET_BAD_JSON = 2
+RET_NO_HIT = 3
+RET_BAD_PAGE = 4
+RET_WINDOW_ERR = 5
+RET_TOO_MANY_MATH_KW = 6
+RET_TOO_MANY_TERM_KW = 7
+RET_STR = {
+    RET_SUCC: "Successful",
+    RET_EMPTY_QRY: "Empty or unrecognized query",
+    RET_BAD_JSON: "Invalid query JSON",
+    RET_NO_HIT: "No hit found",
+    RET_BAD_PAGE: "Illegal page number",
+    RET_WINDOW_ERR: "Rank window calculation error",
+    RET_TOO_MANY_MATH_KW: "Too many math keywords in query",
+    RET_TOO_MANY_TERM_KW: "Too many term keywords in query",
+}
+MAX_MATH_KW = 4  # searchd/config.h:22 MAX_ACCEPTABLE_MATH_KEYWORDS
+MAX_TERM_KW = 20  # searchd/config.h:23 MAX_ACCEPTABLE_TERM_KEYWORDS
+
+
+def errcode_json(code: int) -> dict:
+    """search_errcode_json twin (searchd/utils.c:189)."""
+    return {"ret_code": code, "ret_str": RET_STR[code], "tot_pages": 0, "hits": []}
 
 
 @dataclass
@@ -99,12 +125,20 @@ class SearchEngine:
         RES_PER_PAGE hits with titles, urls and <em>-highlighted snippets."""
         terms, texes = split_query(qtext)
         if not terms and not texes:
-            return {"ret_code": 2, "ret_str": RET_STR[2], "tot_pages": 0, "hits": []}
+            return errcode_json(RET_EMPTY_QRY)
+        if len(texes) > MAX_MATH_KW:  # searchd/run/searchd.c:62-66
+            return errcode_json(RET_TOO_MANY_MATH_KW)
+        if len(terms) > MAX_TERM_KW:  # searchd/run/searchd.c:69-73
+            return errcode_json(RET_TOO_MANY_TERM_KW)
+        if page < 1:
+            return errcode_json(RET_BAD_PAGE)
         res = self.query(qtext, mode=mode)
         rows = snippets_for(self.index, res, terms).collect()
         if not rows:
-            return {"ret_code": 1, "ret_str": RET_STR[1], "tot_pages": 0, "hits": []}
+            return errcode_json(RET_NO_HIT)
         tot_pages = (len(rows) + RES_PER_PAGE - 1) // RES_PER_PAGE
+        if page > tot_pages:  # searchd/utils.c:363 rank window check
+            return errcode_json(RET_BAD_PAGE)
         lo = (page - 1) * RES_PER_PAGE
         hits = [
             {
@@ -116,4 +150,9 @@ class SearchEngine:
             }
             for r in rows[lo : lo + RES_PER_PAGE]
         ]
-        return {"ret_code": 0, "ret_str": RET_STR[0], "tot_pages": tot_pages, "hits": hits}
+        return {
+            "ret_code": RET_SUCC,
+            "ret_str": RET_STR[RET_SUCC],
+            "tot_pages": tot_pages,
+            "hits": hits,
+        }

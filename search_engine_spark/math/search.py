@@ -299,7 +299,10 @@ def split_query(qtext: str) -> tuple[list[str], list[str]]:
     are dropped here because the TEX keywords replace them, matching the
     reference's typed-keyword query model, search/query.h:9-32).
     """
-    texes = extract_math_spans(qtext)[:4]  # searchd/config.h:23 max 4 math kw
+    # no caps here: the 4-math / 20-term limits are daemon ADMISSION rules
+    # (searchd/run/searchd.c:62-73 rejects, never truncates) — enforced in
+    # engine.query_json
+    texes = extract_math_spans(qtext)
     terms = [t for t in digest_query(qtext) if t != "math_exp"]
     return terms, texes
 

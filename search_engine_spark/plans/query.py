@@ -44,14 +44,16 @@ def digest_query(qtext: str) -> list[str]:
 
     The reference re-lexes query keywords with the indexing lexer
     (search/query.c:81-113) and drops duplicate post_ids keeping the first
-    occurrence (search/query.c:151-221); the daemon caps term keywords at 20
-    (searchd/config.h:24).
+    occurrence (search/query.c:151-221). The library does NOT cap the list:
+    the 20-term limit is a DAEMON admission rule (searchd/run/searchd.c:69-73
+    rejects with ret_code 7, it never truncates) — enforced in
+    engine.query_json / searchd.py, like the reference.
     """
     seen: dict[str, None] = {}
     for t in tokenize_text(qtext):
         if t not in seen:
             seen[t] = None
-    return list(seen)[:MAX_TERM_KEYWORDS]
+    return list(seen)
 
 
 @F.pandas_udf(DoubleType())

@@ -56,8 +56,10 @@ def make_handler(engine, lock: threading.Lock):
             self.wfile.write(body)
 
         def do_POST(self):  # noqa: N802 (http.server API)
+            from .engine import RET_BAD_JSON, RET_BAD_PAGE, RET_EMPTY_QRY, errcode_json
+
             if self.path != DEFAULT_URI:
-                self._reply(404, {"ret_code": 2, "ret_str": "bad URI"})
+                self._reply(404, errcode_json(RET_BAD_JSON))
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
@@ -65,13 +67,14 @@ def make_handler(engine, lock: threading.Lock):
                 page = int(req.get("page", 0))
                 qtext = keywords_to_qtext(req.get("kw", []))
             except (ValueError, json.JSONDecodeError):
-                # parse failure == empty query (parse_json_qry returns page 0)
-                self._reply(200, {"ret_code": 2, "ret_str": "empty query",
-                                  "tot_pages": 0, "hits": []})
+                # searchd/run/searchd.c:53-59 malformed request JSON
+                self._reply(200, errcode_json(RET_BAD_JSON))
                 return
-            if page < 1 or not qtext.strip():
-                self._reply(200, {"ret_code": 2, "ret_str": "empty query",
-                                  "tot_pages": 0, "hits": []})
+            if page < 1:  # parse_json_qry signals failure with page 0
+                self._reply(200, errcode_json(RET_BAD_PAGE))
+                return
+            if not qtext.strip():
+                self._reply(200, errcode_json(RET_EMPTY_QRY))
                 return
             with lock:  # one Spark action at a time on the shared session
                 out = engine.query_json(qtext, page=page)

@@ -21,8 +21,8 @@ def test_engine_json_surface(spark, index200, tmp_path):
     resp2 = eng.query_json(q, page=2)
     assert {h["docid"] for h in resp2["hits"]}.isdisjoint({h["docid"] for h in resp["hits"]})
     # daemon error codes
-    assert eng.query_json("")["ret_code"] == 2
-    assert eng.query_json("zzzqqqmissing")["ret_code"] == 1
+    assert eng.query_json("")["ret_code"] == 1  # empty query (utils.h enum)
+    assert eng.query_json("zzzqqqmissing")["ret_code"] == 3  # no hit found
 
 
 def test_engine_build_save_load_math(spark, tmp_path):

@@ -120,9 +120,11 @@ def test_split_query():
     terms, texes = split_query("hello [imath]a+b[/imath] world")
     assert terms == ["hello", "world"]
     assert texes == ["a+b"]
-    # caps at 4 math keywords (searchd/config.h:23)
+    # NO library-side cap: the 4-math-keyword limit is a daemon admission
+    # rule (searchd/run/searchd.c:62-66 rejects with ret_code 6) — enforced
+    # in engine.query_json, tested in test_searchd/test_engine
     q = " ".join("[imath]x[/imath]" for _ in range(6))
-    assert len(split_query(q)[1]) == 4
+    assert len(split_query(q)[1]) == 6
 
 
 def test_mixed_search_mnc_rerank(spark, math_setup):

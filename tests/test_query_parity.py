@@ -43,7 +43,10 @@ def test_rank_identity(spark, index200, pydocs200, qid, qtext, mode, use_blocks)
 def test_digest_matches_reference_semantics():
     assert digest_query("WAAAA DOG dog waaaa") == ["waaaa", "dog"]
     assert digest_query("[imath]x[/imath] a") == ["math_exp", "a"]
-    assert len(digest_query(" ".join(f"t{chr(97 + i)}{chr(97 + i)}" for i in range(30)))) == 20
+    # no library-side truncation: the 20-term limit is a daemon ADMISSION
+    # rule (searchd/run/searchd.c:69-73 rejects with ret_code 7, it never
+    # truncates) — enforced in engine.query_json, tested in test_searchd
+    assert len(digest_query(" ".join(f"t{chr(97 + i % 26)}{chr(97 + i // 26)}" for i in range(30)))) == 30
 
 
 def test_k_bounds_results(spark, index200, pydocs200):

@@ -35,7 +35,7 @@ def test_search_hits_shape(daemon):
         "page": 1,
         "kw": [{"type": "term", "str": f"{vocab_word(1)} {vocab_word(2)}"}],
     })
-    assert out["ret_code"] == 0 and out["ret_str"] == "successful search"
+    assert out["ret_code"] == 0 and out["ret_str"] == "Successful"
     assert out["tot_pages"] >= 1 and len(out["hits"]) == 10
     hit = out["hits"][0]
     assert set(hit) == {"docid", "score", "title", "url", "snippet"}
@@ -51,9 +51,17 @@ def test_pagination_pages_differ(daemon):
 
 
 def test_empty_and_malformed_queries(daemon):
-    assert _post(daemon, {"page": 1, "kw": []})["ret_code"] == 2
-    assert _post(daemon, {"kw": [{"type": "term", "str": "x"}]})["ret_code"] == 2  # no page
-    assert _post(daemon, {"page": 1})["ret_code"] == 2
+    # reference return-code enum (searchd/utils.h:9-24): 1 = empty query,
+    # 2 = invalid JSON, 4 = illegal page, 6/7 = too many math/term keywords
+    assert _post(daemon, {"page": 1, "kw": []})["ret_code"] == 1
+    assert _post(daemon, {"kw": [{"type": "term", "str": "x"}]})["ret_code"] == 4  # page 0
+    assert _post(daemon, {"page": 1})["ret_code"] == 1
+    assert _post(daemon, {"page": 1, "kw": [{"type": "nope", "str": "x"}]})["ret_code"] == 2
+    # letter-only words (digits tokenize away) so 21 DISTINCT terms survive
+    too_many = [{"type": "term", "str": "qq" + chr(ord("a") + i)} for i in range(21)]
+    assert _post(daemon, {"page": 1, "kw": too_many})["ret_code"] == 7
+    out = _post(daemon, {"page": 999, "kw": [{"type": "term", "str": "waaaa"}]})
+    assert out["ret_code"] == 4  # page past the rank window
 
 
 def test_keywords_to_qtext_tex_roundtrip():
