@@ -192,11 +192,36 @@ def load_index(spark: SparkSession, path: str, with_row_postings: bool = False) 
     if os.path.exists(f"{path}/doc_blocks"):
         doc_blocks = read_table(spark, f"{path}/doc_blocks")
         if "_shard" in doc_blocks.columns:
-            # restore the doc-sharded layout (see save_index): hash
-            # repartition by the writing shard id — file-split boundaries
-            # from the raw scan never survive into serving partitions
-            n = spark.sparkContext.defaultParallelism * 4
-            doc_blocks = doc_blocks.repartition(n, "_shard").drop("_shard")
+            # The serving invariant is only that every doc's blocks land in
+            # ONE partition. A parquet split never crosses a FILE boundary:
+            # splits either take a whole small file (or several — merging
+            # whole shards is invariant-preserving) or carve a big file at
+            # row-group boundaries (invariant-BREAKING: observed at 400k
+            # docs, >128MB files put one doc's blocks in two partitions).
+            # So when every written file fits in one split, serve straight
+            # off the scan — the cold path then has NO per-query exchange —
+            # and only repartition by the writing shard id when some file
+            # is big enough to be carved.
+            try:
+                biggest = max(
+                    (
+                        os.path.getsize(os.path.join(f"{path}/doc_blocks", f))
+                        for f in os.listdir(f"{path}/doc_blocks")
+                        if f.endswith(".parquet")
+                    ),
+                    default=0,
+                )
+            except OSError:
+                biggest = None
+            max_split = int(
+                str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+                .lower().rstrip("b")
+            )
+            if biggest is not None and biggest <= max_split:
+                doc_blocks = doc_blocks.drop("_shard")
+            else:
+                n = spark.sparkContext.defaultParallelism * 4
+                doc_blocks = doc_blocks.repartition(n, "_shard").drop("_shard")
     return InvertedIndex(
         postings=unpack_blocks(blocks) if with_row_postings else None,
         blocks=blocks,
