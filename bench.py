@@ -6,7 +6,10 @@ Default mode: one JSON line on stdout —
 
 Timed pieces:
 - index build (docs/sec) over a deterministic synthetic Common-Crawl-style
-  corpus ($BENCH_DOCS docs, default 20000) — the north-rule throughput metric;
+  corpus ($BENCH_DOCS docs, default 100000 — at 20k docs fixed job costs
+  dominated and the "throughput" was 5x below the same plan's measured
+  rate; n_docs rides in the payload so rounds stay comparable) — the
+  north-rule throughput metric;
 - headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
   each fully materialized (count/collect);
 - BM25 query QPS over a 16-query mixed workload on the warm index.
@@ -383,7 +386,7 @@ def _run_workload(cpus: int, sf_dir: str, n_docs: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("BENCH_DOCS", "20000"))
+    n_docs = int(os.environ.get("BENCH_DOCS", "100000"))
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
 
     if "--scaling" in sys.argv:
