@@ -71,10 +71,9 @@ got = invert_chunk(doc_ids, tok_lists)
 print(f"invert(single chunk) {time.time()-t0:.2f}s; entries={len(got[1])}")
 
 vocab, e_term, e_doc, e_tf, e_dl, pos_bytes, entry_boff = got
-avgdl = float(e_dl.mean())
 
 t0 = time.time()
 nb = 0
-for rb in B._emit_blocks_arrow(e_term, vocab, e_doc, e_tf, e_dl, pos_bytes, entry_boff, avgdl, 128):
+for rb in B._emit_blocks_arrow(e_term, vocab, e_doc, e_tf, e_dl, pos_bytes, entry_boff, 128):
     nb += rb.num_rows
 print(f"emit_blocks_arrow {time.time()-t0:.2f}s; blocks={nb}")

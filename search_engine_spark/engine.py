@@ -91,11 +91,26 @@ class SearchEngine:
         return cls(spark, idx, mp, lr)
 
     def save(self, path: str) -> None:
+        """Index tables to ``path``; the math tables are PARTITIONED BY the
+        hash bucket of their probe key (subpath / leaf_seg), so a loaded
+        engine's keyed MNC probe prunes unrelated files at the storage
+        layer — the directory-per-subpath seek of the reference
+        (math-index/dir-merge.c:74-89) expressed as partition pruning."""
+        from .math.index import LR_BUCKETS, MP_BUCKETS, bucket_col
+
         save_index(self.index, path)
         if self.math_postings is not None:
-            self.math_postings.write.mode("overwrite").parquet(f"{path}/math_postings")
+            self.math_postings.withColumn(
+                "sp_bucket", bucket_col("subpath", MP_BUCKETS)
+            ).write.mode("overwrite").partitionBy("sp_bucket").parquet(
+                f"{path}/math_postings"
+            )
         if self.math_lr_postings is not None:
-            self.math_lr_postings.write.mode("overwrite").parquet(f"{path}/math_lr")
+            self.math_lr_postings.withColumn(
+                "lseg_bucket", bucket_col("leaf_seg", LR_BUCKETS)
+            ).write.mode("overwrite").partitionBy("lseg_bucket").parquet(
+                f"{path}/math_lr"
+            )
 
     def warm(self, cache_budget_bytes: int | None = None) -> "SearchEngine":
         """Daemon-start warm-up (indices.c:128-178): budgeted hot-term cache
@@ -120,26 +135,39 @@ class SearchEngine:
             )
         return search(self.spark, self.index, qtext, mode=mode, k=k, **kw)
 
-    def query_json(self, qtext: str, page: int = 1, mode: str = "or") -> dict:
-        """The searchd response shape (searchd/utils.c:173-389): one page of
-        RES_PER_PAGE hits with titles, urls and <em>-highlighted snippets."""
+    def _admit(self, qtext: str, page: int):
+        """Reference admission checks in reference ORDER
+        (searchd/run/searchd.c:46-73): page 0 signals a request-JSON parse
+        failure (parse_json_qry returns 0 -> BAD_JSON, utils.c:111-167),
+        THEN empty query, then the math/term keyword limits. Returns
+        (terms, texes, None) on admit or (.., .., errcode_json) on reject."""
         terms, texes = split_query(qtext)
-        if not terms and not texes:
-            return errcode_json(RET_EMPTY_QRY)
-        if len(texes) > MAX_MATH_KW:  # searchd/run/searchd.c:62-66
-            return errcode_json(RET_TOO_MANY_MATH_KW)
-        if len(terms) > MAX_TERM_KW:  # searchd/run/searchd.c:69-73
-            return errcode_json(RET_TOO_MANY_TERM_KW)
         if page < 1:
-            return errcode_json(RET_BAD_PAGE)
-        res = self.query(qtext, mode=mode)
-        rows = snippets_for(self.index, res, terms).collect()
-        if not rows:
-            return errcode_json(RET_NO_HIT)
+            return terms, texes, errcode_json(RET_BAD_JSON)
+        if not terms and not texes:
+            return terms, texes, errcode_json(RET_EMPTY_QRY)
+        if len(texes) > MAX_MATH_KW:  # searchd/run/searchd.c:62-66
+            return terms, texes, errcode_json(RET_TOO_MANY_MATH_KW)
+        if len(terms) > MAX_TERM_KW:  # searchd/run/searchd.c:69-73
+            return terms, texes, errcode_json(RET_TOO_MANY_TERM_KW)
+        return terms, texes, None
+
+    @staticmethod
+    def _page_reply(rows: list, page: int) -> dict:
+        """Collected snippet rows -> one page of the daemon response.
+
+        Mirrors search_results_json (searchd/utils.c:350-389) with
+        i = page - 1: NO_HIT only when (i | tot_pages) == 0 — page 1 of an
+        empty result; any OTHER page of an empty result (and any page past
+        the window) is ILLEGAL_PAGENUM, exactly the reference's
+        ``(i | tot_pages) == 0`` then ``i >= tot_pages`` order."""
+        i = page - 1
         tot_pages = (len(rows) + RES_PER_PAGE - 1) // RES_PER_PAGE
-        if page > tot_pages:  # searchd/utils.c:363 rank window check
+        if (i | tot_pages) == 0:
+            return errcode_json(RET_NO_HIT)
+        if i >= tot_pages:
             return errcode_json(RET_BAD_PAGE)
-        lo = (page - 1) * RES_PER_PAGE
+        lo = i * RES_PER_PAGE
         hits = [
             {
                 "docid": int(r["doc_id"]),
@@ -156,3 +184,50 @@ class SearchEngine:
             "tot_pages": tot_pages,
             "hits": hits,
         }
+
+    def query_json(self, qtext: str, page: int = 1, mode: str = "or") -> dict:
+        """The searchd response shape (searchd/utils.c:173-389): one page of
+        RES_PER_PAGE hits with titles, urls and <em>-highlighted snippets."""
+        terms, _, err = self._admit(qtext, page)
+        if err is not None:
+            return err
+        res = self.query(qtext, mode=mode)
+        rows = snippets_for(self.index, res, terms).collect()
+        return self._page_reply(rows, page)
+
+    def query_json_many(self, requests: list[tuple[str, int, str]]) -> list[dict]:
+        """Batched daemon replies: N ``(qtext, page, mode)`` requests in,
+        N ``query_json``-shaped dicts out — ONE ``search_many`` plan + ONE
+        batched snippet pass for every admissible term-only request (the
+        searchd micro-batcher drains concurrent POSTs through here, so 32
+        concurrent clients cost one Spark job instead of 32 serialized
+        ones). Math-bearing requests fall back to the per-query mixed path;
+        admission rejections are answered without touching Spark."""
+        from .plans.query import search_many
+        from .plans.snippet import snippets_for_many
+
+        out: list[dict | None] = [None] * len(requests)
+        queries: dict[str, tuple[str, str]] = {}
+        qterms: dict[str, list[str]] = {}
+        pending: dict[str, tuple[int, int]] = {}  # qid -> (req index, page)
+        for i, (qtext, page, mode) in enumerate(requests):
+            terms, texes, err = self._admit(qtext, page)
+            if err is not None:
+                out[i] = err
+                continue
+            if texes and self.math_postings is not None:
+                out[i] = self.query_json(qtext, page=page, mode=mode)
+                continue
+            qid = f"q{i}"
+            queries[qid] = (qtext, mode)
+            qterms[qid] = terms
+            pending[qid] = (i, page)
+        if queries:
+            res = search_many(self.spark, self.index, queries)
+            rows = snippets_for_many(self.index, res, qterms).collect()
+            by_qid: dict[str, list] = {}
+            for r in rows:
+                by_qid.setdefault(r["qid"], []).append(r)
+            for qid, (i, page) in pending.items():
+                out[i] = self._page_reply(by_qid.get(qid, []), page)
+        return out

@@ -303,12 +303,13 @@ def inverted_frame(docs, tf_cap: int = 2048, text_col: str = "text"):
 def doclen_frame(docs, text_col: str = "text"):
     """(doc_id, doclen) in one cheap narrow Arrow pass over the corpus.
 
-    The pre-pass that gives the fused build avgdl/docN BEFORE block packing
-    (per-block max-score metadata needs the collection avgdl, so a fully
-    fused single pass cannot exist). Output is one tiny row per document —
-    the pass costs input serialization + the tokenizer kernel only
-    (measured ~3s for 400k docs at local[32], vs ~26s when the full
-    inverted rows cross the Arrow boundary).
+    Standalone doclen view (no longer a build pre-pass: since the block-max
+    metadata became avgdl-independent, the fused build derives doclens from
+    its own sentinel side-channel and scans the corpus exactly once).
+    Output is one tiny row per document — the pass costs input
+    serialization + the tokenizer kernel only (measured ~3s for 400k docs
+    at local[32], vs ~26s when the full inverted rows cross the Arrow
+    boundary).
     """
     import numpy as np
     import pyarrow as pa

@@ -135,6 +135,29 @@ def build_math_lr_index(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(extract, MATH_LR_SCHEMA)
 
 
+# Storage bucketing of the math tables by their PROBE key (the twin of the
+# reference's one-directory-per-subpath layout, math-index/dir-merge.c:74-89
+# seeks only the query's directories): the lr table partitions by a hash
+# bucket of leaf_seg (the concrete-path equi-join key), math_postings by a
+# hash bucket of subpath. Query time pre-filters the bucket column with the
+# query's own bucket set -> partition pruning skips every unrelated file at
+# the storage layer. CRC32 is used because Spark (F.crc32) and Python
+# (zlib.crc32) implement the same polynomial, so the driver can compute a
+# query path's bucket without a JVM round-trip.
+LR_BUCKETS = 64
+MP_BUCKETS = 64
+
+
+def bucket_col(col: str, n_buckets: int) -> F.Column:
+    return F.pmod(F.crc32(F.col(col).cast("binary")), F.lit(n_buckets)).cast("int")
+
+
+def bucket_of(value: str, n_buckets: int) -> int:
+    import zlib
+
+    return zlib.crc32(value.encode("utf-8")) % n_buckets
+
+
 def build_math_index(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> math_postings. Narrow Arrow pass, no shuffle."""
 

@@ -79,6 +79,14 @@ def _containment_per_exp(
         [(p, g, 2.0 if not g else 1.0) for p, g in qpaths],
         "subpath string, is_gener boolean, w double",
     )
+    if "sp_bucket" in math_postings.columns:
+        # storage-partitioned table (engine.save): pre-filter the query
+        # subpaths' bucket set -> partition pruning skips unrelated files
+        # (the reference opens only the query's subpath directories)
+        from .index import MP_BUCKETS, bucket_of
+
+        bset = sorted({bucket_of(p, MP_BUCKETS) for p, _ in qpaths})
+        math_postings = math_postings.where(F.col("sp_bucket").isin(bset))
     matched = math_postings.join(F.broadcast(qdf), ["subpath", "is_gener"])
     if max_items_per_list is not None:
         # reference read cap: each subpath "directory" yields at most N
@@ -168,8 +176,18 @@ def _mnc_per_exp(spark: SparkSession, lr_postings: DataFrame, tex: str) -> DataF
     qcols = "q_ord int, q_struct string, q_sym string"
     if q_conc:
         qc = spark.createDataFrame(q_conc, qcols + ", q_key string")
+        conc_lr = lr
+        if "lseg_bucket" in lr.columns:
+            # storage-partitioned lr table (engine.save): the concrete
+            # branch probes on leaf_seg, so pre-filtering the query keys'
+            # bucket set prunes every unrelated partition directory at the
+            # scan (dir-merge.c:74-89 seek-only-the-query's-directories)
+            from .index import LR_BUCKETS, bucket_of
+
+            bset = sorted({bucket_of(k, LR_BUCKETS) for _, _, _, k in q_conc})
+            conc_lr = lr.where(F.col("lseg_bucket").isin(bset))
         branches.append(
-            lr.join(F.broadcast(qc), F.col("leaf_seg") == F.col("q_key")).where(
+            conc_lr.join(F.broadcast(qc), F.col("leaf_seg") == F.col("q_key")).where(
                 (F.col("struct") == F.col("q_struct"))
                 | F.col("struct").startswith(F.concat(F.col("q_struct"), F.lit("/")))
             )
@@ -307,13 +325,19 @@ def split_query(qtext: str) -> tuple[list[str], list[str]]:
     return terms, texes
 
 
-# Above this candidate count the per-doc math results stay as DataFrames
-# (the shuffle-join combine) instead of broadcasting into the term kernel —
-# a hostile single-subpath query matching a large corpus slice must not
-# materialize on the driver. The reference holds math score postings as
-# transient in-memory lists under the same kind of read caps
-# (math-expr-search.c transient postings + config.h read limits).
-MAX_BROADCAST_MATH_DOCS = 200_000
+# Above this BYTE budget the per-doc math results stay as DataFrames (the
+# shuffle-join combine) instead of broadcasting into the term kernel — a
+# hostile query matching a large corpus slice (or one with pathological
+# position lists) must not materialize on the driver. The budget is
+# measured IN-PLAN before anything is collected (count + sum(size(_mpos))
+# over the cached per-doc frames), so the driver never holds an unmeasured
+# payload — the round-4 row-count cap could admit 200k rows of arbitrarily
+# long position lists. The reference holds math score postings as transient
+# in-memory lists under the same kind of read caps (math-expr-search.c
+# transient postings + config.h read limits).
+MAX_BROADCAST_MATH_BYTES = 64 << 20
+_MDOC_BYTES = 48  # per-doc payload overhead (key + score + list header)
+_MPOS_BYTES = 8  # per matched-expression position
 
 
 def mixed_search(
@@ -325,6 +349,7 @@ def mixed_search(
     k: int = S.RANK_K,
     with_prox: bool = True,
     math_lr_postings: DataFrame | None = None,
+    broadcast_budget_bytes: int = MAX_BROADCAST_MATH_BYTES,
 ) -> DataFrame:
     """Full mixed term+math query -> top-k
     (doc_id, bm25, match_dim, max_math, prox, score).
@@ -345,7 +370,8 @@ def mixed_search(
     doc whose only adjacency is term<->math gets prox != ln 0.3.
 
     Serving shape: when the index carries doc-sharded blocks and the math
-    candidate set fits MAX_BROADCAST_MATH_DOCS, the per-doc math scores +
+    candidate payload fits ``broadcast_budget_bytes`` (measured in-plan
+    BEFORE any collect), the per-doc math scores +
     matched positions BROADCAST into the doc-sharded serving kernel, which
     computes the complete mixed total in-shard with a local top-k — the
     term side pays ZERO shuffle, exactly like term-only serving
@@ -355,6 +381,10 @@ def mixed_search(
     """
     terms, texes = split_query(qtext)
     n_terms = len(terms)
+    # probe = the in-kernel broadcast path is on the table: the per-tex
+    # frames are then persisted so the byte-budget measurement job and the
+    # subsequent collect (or the fallback combine) share one evaluation
+    probe = bool(terms) and index.doc_blocks is not None
 
     # per-TEX-keyword per-doc frames: (doc_id, math_score, [exp_pos...])
     per_tex: list[tuple[int, DataFrame]] = []
@@ -378,34 +408,38 @@ def mixed_search(
             if pe is None:
                 continue
             pe = pe.where(F.col("sim") > 0).select("doc_id", "sim", "exp_pos")
-        per_tex.append(
-            (
-                ti,
-                pe.groupBy("doc_id").agg(
-                    F.max("sim").alias("math_score"),
-                    F.collect_list("exp_pos").alias("_mpos"),
-                ),
-            )
+        mdf = pe.groupBy("doc_id").agg(
+            F.max("sim").alias("math_score"),
+            F.collect_list("exp_pos").alias("_mpos"),
         )
+        if probe:
+            mdf = mdf.persist()
+        per_tex.append((ti, mdf))
 
-    if terms and index.doc_blocks is not None:
-        # collect the (bounded) math candidate set for the in-kernel path;
-        # overflow falls back to the DataFrame combine below
-        minfo: dict[int, list] = {}
+    if probe:
+        # byte-budget the candidate payload IN-PLAN (count + position
+        # volume over the cached frames) BEFORE collecting anything; only a
+        # payload that provably fits is materialized for the broadcast
         small = True
-        for ti, mdf in per_tex:
-            rows = mdf.limit(MAX_BROADCAST_MATH_DOCS + 1).collect()
-            if len(rows) > MAX_BROADCAST_MATH_DOCS:
-                small = False
-                break
-            for r in rows:
-                e = minfo.setdefault(int(r["doc_id"]), [0.0, []])
-                e[0] = max(e[0], float(r["math_score"]))
-                e[1].append((n_terms + ti, [int(p) for p in r["_mpos"]]))
-            if len(minfo) > MAX_BROADCAST_MATH_DOCS:
+        spent = 0
+        for _, mdf in per_tex:
+            m = mdf.agg(
+                F.count(F.lit(1)).alias("nd"),
+                F.coalesce(F.sum(F.size("_mpos")), F.lit(0)).alias("np"),
+            ).collect()[0]
+            spent += int(m["nd"]) * _MDOC_BYTES + int(m["np"]) * _MPOS_BYTES
+            if spent > broadcast_budget_bytes:
                 small = False
                 break
         if small:
+            minfo: dict[int, list] = {}
+            for ti, mdf in per_tex:
+                for r in mdf.collect():
+                    e = minfo.setdefault(int(r["doc_id"]), [0.0, []])
+                    e[0] = max(e[0], float(r["math_score"]))
+                    e[1].append((n_terms + ti, [int(p) for p in r["_mpos"]]))
+            for _, mdf in per_tex:
+                mdf.unpersist()
             return _mixed_shard_search(
                 spark, index, terms, mode, minfo, n_terms, k, with_prox
             )
@@ -487,9 +521,14 @@ def mixed_search(
         * (F.col("match_dim") + F.when(F.col("max_math") > 0, 1.0).otherwise(0.0))
     )
     scored = combined.withColumn("score", total)
-    return top_k(scored, k).select(
+    out = top_k(scored, k).select(
         "doc_id", "bm25", "match_dim", "max_math", "prox", "score"
     )
+    if probe:
+        # the fallback plan reads the persisted per-tex frames; the caller
+        # frees them after materializing (operators.dedup.release pattern)
+        out._cached_inputs = [mdf for _, mdf in per_tex]
+    return out
 
 
 def _solo_prox(plist: list, ln03: float) -> float:

@@ -5,17 +5,34 @@ Plays the role of the reference's mem-index posting blocks + skip list
 mem-index/skippy.h:62-148 jump(target) descends to the furthest node with
 key <= target). In Spark the "skip" is the min/max block predicate: an AND
 merge filters blocks on ``last_doc_id >= target`` / ``first_doc_id <=
-bound`` and never decodes pruned blocks. The extra ``block_max_tfn`` column
-(max BM25 tf-normalization inside the block) is the block-max metadata that
-enables WAND pruning (north rule; cf. Ding & Suel, "Faster Top-k Document
-Retrieval Using Block-Max Indexes", SIGIR'11).
+bound`` and never decodes pruned blocks. The ``block_max_tf`` /
+``block_min_dl`` pair is the block-max metadata that enables WAND pruning
+(north rule; cf. Ding & Suel, "Faster Top-k Document Retrieval Using
+Block-Max Indexes", SIGIR'11): the BM25 tf-normalization is monotone
+increasing in tf and decreasing in doclen, so tfn(max_tf, min_dl, avgdl)
+evaluated AT SERVE TIME is a valid per-block upper bound. Storing the
+(tf, dl) extremes instead of a baked tfn value makes the packed blocks
+independent of the collection avgdl — which is what lets the whole index
+build run as ONE corpus scan (no doclen pre-pass) and lets two indexes
+merge by pure union (no repack).
 
 Layout per block row:
   term STRING, first_doc_id LONG, last_doc_id LONG, n INT,
   doc_ids_blob BINARY (delta+varbyte), tfs_blob BINARY (varbyte),
   doclens_blob BINARY (varbyte; denormalized so scoring never joins
   doc_meta at query time), positions_blob BINARY (varbyte, concatenated;
-  per-entry lengths == tf), block_max_tfn FLOAT.
+  per-entry lengths == tf), block_max_tf INT, block_min_dl INT,
+  tf_sum LONG (sum of the block's capped tfs — makes term_stats a pure
+  column aggregate over block metadata, no blob decode, no Python stage).
+
+Doc-meta side-channel: the fused build additionally emits ONE sentinel row
+per doc chunk (term == DOC_META_TERM, a string no tokenizer output can
+collide with) whose doc_ids_blob/doclens_blob carry the chunk's (doc_id,
+doclen) pairs and whose tf_sum is the chunk's UNCAPPED token total. docN /
+avgdl / doc_meta all derive from these rows, so the corpus is tokenized
+exactly once. Every consumer that decodes posting blocks filters the
+sentinel out (and the serving path filters blocks by query term, which a
+sentinel can never match).
 
 Scale notes: packing runs after ``repartitionByRange(term, doc_id)`` +
 ``sortWithinPartitions`` — a hot term's posting list is *split across
@@ -36,7 +53,6 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -45,9 +61,12 @@ from pyspark.sql.types import (
 )
 
 from ..functions import codec
-from .scoring import tf_norm_np
 
 DEFAULT_BLOCK = 512  # posting entries per block (reference: ~12KB blocks, mem-index/config.h:12-16)
+
+# Sentinel term of the doc-meta side-channel rows: "\x00" sorts before any
+# real token and the tokenizer can never emit a NUL byte, so no collision.
+DOC_META_TERM = "\x00doclen"
 
 BLOCK_SCHEMA = StructType(
     [
@@ -59,7 +78,9 @@ BLOCK_SCHEMA = StructType(
         StructField("tfs_blob", BinaryType(), False),
         StructField("doclens_blob", BinaryType(), False),
         StructField("positions_blob", BinaryType(), False),
-        StructField("block_max_tfn", FloatType(), False),
+        StructField("block_max_tf", IntegerType(), False),
+        StructField("block_min_dl", IntegerType(), False),
+        StructField("tf_sum", LongType(), False),
     ]
 )
 
@@ -82,7 +103,6 @@ def _emit_blocks_arrow(
     e_dl: np.ndarray,
     pos_bytes,
     entry_boff: np.ndarray,
-    avgdl: float,
     block: int,
     max_batch_bytes: int = 512 << 20,
 ):
@@ -103,7 +123,9 @@ def _emit_blocks_arrow(
     - docID delta reset at block starts happens vectorized (the diff array
       is overwritten at boundary positions with the absolute id before the
       single vb_encode call);
-    - block_max_tfn is one ``np.maximum.reduceat`` over the entry tfn array.
+    - block_max_tf / block_min_dl / tf_sum are single ``np.*.reduceat``
+      calls over the entry arrays (avgdl-independent block-max metadata —
+      the WAND upper bound is evaluated at serve time).
 
     ``vocab``: list/Array of term strings indexed by ``term_idx``.
     ``entry_boff``: per-entry byte offsets (len n+1) into ``pos_bytes`` —
@@ -127,10 +149,9 @@ def _emit_blocks_arrow(
     first_doc = e_doc[bstart]
     last_doc = e_doc[bend - 1]
     bn = (bend - bstart).astype(np.int32)
-    tfn = tf_norm_np(
-        e_tf.astype(np.float32), e_dl.astype(np.float32), avgdl
-    ).astype(np.float32)
-    bmax = np.maximum.reduceat(tfn, bstart)
+    bmax_tf = np.maximum.reduceat(e_tf, bstart).astype(np.int32)
+    bmin_dl = np.minimum.reduceat(e_dl, bstart).astype(np.int32)
+    btf_sum = np.add.reduceat(e_tf.astype(np.int64), bstart)
 
     d = np.empty(n, dtype=np.uint64)
     d[0] = e_doc[0]
@@ -181,7 +202,9 @@ def _emit_blocks_arrow(
                 _bin_col(tfs_stream, tfs_off, lo_b, hi_b),
                 _bin_col(dls_stream, dls_off, lo_b, hi_b),
                 _bin_col(pos_stream, entry_boff, lo_b, hi_b),
-                pa.array(bmax[lo_b:hi_b], type=pa.float32()),
+                pa.array(bmax_tf[lo_b:hi_b], type=pa.int32()),
+                pa.array(bmin_dl[lo_b:hi_b], type=pa.int32()),
+                pa.array(btf_sum[lo_b:hi_b], type=pa.int64()),
             ],
             schema=_PA_BLOCK_SCHEMA(),
         )
@@ -200,14 +223,46 @@ def _PA_BLOCK_SCHEMA():
             ("tfs_blob", pa.binary()),
             ("doclens_blob", pa.binary()),
             ("positions_blob", pa.binary()),
-            ("block_max_tfn", pa.float32()),
+            ("block_max_tf", pa.int32()),
+            ("block_min_dl", pa.int32()),
+            ("tf_sum", pa.int64()),
         ]
+    )
+
+
+def _doc_meta_sentinel(doc_ids: np.ndarray, lens: np.ndarray):
+    """One sentinel block row carrying a doc chunk's (doc_id, doclen) pairs.
+
+    ``doc_ids`` ascending; ``lens`` the UNCAPPED per-doc token counts.
+    doc_ids_blob uses the same delta+varbyte layout as posting blocks
+    (decode with codec.decode_ids); tf_sum is the chunk's token total, so
+    collection stats (docN = sum n, avgdl = sum tf_sum / sum n) are a pure
+    column aggregate over these rows."""
+    import pyarrow as pa
+
+    d = np.empty(len(doc_ids), dtype=np.uint64)
+    d[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=d[1:], casting="unsafe")
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([DOC_META_TERM], type=pa.string()),
+            pa.array([int(doc_ids[0])], type=pa.int64()),
+            pa.array([int(doc_ids[-1])], type=pa.int64()),
+            pa.array([len(doc_ids)], type=pa.int32()),
+            pa.array([codec.vb_encode(d)], type=pa.binary()),
+            pa.array([b""], type=pa.binary()),
+            pa.array([codec.vb_encode(lens.astype(np.uint64))], type=pa.binary()),
+            pa.array([b""], type=pa.binary()),
+            pa.array([0], type=pa.int32()),
+            pa.array([0], type=pa.int32()),
+            pa.array([int(lens.sum())], type=pa.int64()),
+        ],
+        schema=_PA_BLOCK_SCHEMA(),
     )
 
 
 def pack_blocks(
     postings_with_doclen: DataFrame,
-    avgdl: float,
     block: int = DEFAULT_BLOCK,
     num_partitions: int | None = None,
     layout: str = "term",
@@ -277,14 +332,18 @@ def pack_blocks(
             pos_boff = pos_boff - pos_boff[0]
             yield from _emit_blocks_arrow(
                 tidx, tdict.dictionary, doc_ids.astype(np.int64), tfs, dls,
-                pos_bytes, pos_boff, avgdl, block,
+                pos_bytes, pos_boff, block,
             )
 
     return arranged.mapInArrow(pack, BLOCK_SCHEMA)
 
 
 def unpack_blocks(blocks: DataFrame, with_positions: bool = True) -> DataFrame:
-    """Packed block rows -> (term, doc_id, tf, doclen, positions)."""
+    """Packed block rows -> (term, doc_id, tf, doclen, positions).
+
+    Doc-meta sentinel rows (fused-build side-channel) are filtered out —
+    they carry no postings."""
+    blocks = blocks.filter(F.col("term") != DOC_META_TERM)
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -319,72 +378,13 @@ def unpack_blocks(blocks: DataFrame, with_positions: bool = True) -> DataFrame:
 
 def block_meta(blocks: DataFrame) -> DataFrame:
     """Metadata-only projection used for WAND pruning / block skipping."""
-    return blocks.select("term", "first_doc_id", "last_doc_id", "n", "block_max_tfn")
-
-
-def reencode_pos_vb(rows: DataFrame) -> DataFrame:
-    """Decoded posting view (term, doc_id, tf, doclen, positions:array<int>)
-    -> the pack-input shape (INVERT_SCHEMA: doc_id, term, tf, pos_vb,
-    doclen) with positions re-encoded as one varbyte stream per row.
-
-    The inverse of :func:`unpack_blocks`' position decode; used by index
-    MERGE, which unions two decoded posting views and must feed
-    :func:`pack_blocks` (whose kernel consumes pre-encoded ``pos_vb``
-    bytes). Arrow-batched: ONE vb_encode over the batch's flat position
-    values, per-row byte offsets from vectorized per-value lengths — no
-    per-row Python.
-    """
-    from ..functions.tokenizer import INVERT_SCHEMA
-
-    def reenc(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        out_schema = pa.schema(
-            [
-                ("doc_id", pa.int64()),
-                ("term", pa.string()),
-                ("tf", pa.int32()),
-                ("pos_vb", pa.binary()),
-                ("doclen", pa.int32()),
-            ]
-        )
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            col = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
-            pos = col["positions"]
-            flat = pos.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
-            row_lens = pc.list_value_length(pos).to_numpy().astype(np.int64)
-            pos_bytes = codec.vb_encode(flat)
-            blens = codec.vb_lengths(flat)
-            val_off = np.zeros(len(row_lens) + 1, dtype=np.int64)
-            np.cumsum(row_lens, out=val_off[1:])
-            byte_cum = np.zeros(len(flat) + 1, dtype=np.int64)
-            np.cumsum(blens, out=byte_cum[1:])
-            entry_byte_off = byte_cum[val_off].astype(np.int32)
-            pos_vb = pa.Array.from_buffers(
-                pa.binary(),
-                batch.num_rows,
-                [None, pa.py_buffer(entry_byte_off.tobytes()), pa.py_buffer(pos_bytes)],
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pc.cast(col["doc_id"], pa.int64()),
-                    pc.cast(col["term"], pa.string()),
-                    pc.cast(col["tf"], pa.int32()),
-                    pos_vb,
-                    pc.cast(col["doclen"], pa.int32()),
-                ],
-                schema=out_schema,
-            )
-
-    return rows.mapInArrow(reenc, INVERT_SCHEMA)
+    return blocks.filter(F.col("term") != DOC_META_TERM).select(
+        "term", "first_doc_id", "last_doc_id", "n", "block_max_tf", "block_min_dl"
+    )
 
 
 def invert_pack_blocks(
     docs: DataFrame,
-    avgdl: float,
     block: int = DEFAULT_BLOCK,
     tf_cap: int = 2048,
     num_partitions: int | None = None,
@@ -402,9 +402,13 @@ def invert_pack_blocks(
     blobs), which is also the 10^12-doc shape: nothing per-posting ever
     leaves the executor.
 
-    Needs ``avgdl`` up front (per-block max-score metadata); build_index
-    obtains it from the cheap ``doclen_frame`` pre-pass. Semantics match
-    inverted_frame + pack_blocks(layout="doc") exactly: same tokenizer,
+    Since round 5 this is also the ONLY corpus scan of the whole build:
+    block-max metadata is avgdl-independent (block_max_tf/block_min_dl,
+    bound evaluated at serve time) and each doc chunk additionally emits a
+    DOC_META_TERM sentinel row carrying its (doc_id, doclen) pairs, from
+    which docN/avgdl/doc_meta all derive downstream — no doclen pre-pass.
+    Semantics match inverted_frame + pack_blocks(layout="doc") exactly
+    (modulo the sentinel rows, filtered by every decoder): same tokenizer,
     same tf cap (2048 + position slice), same block packing; only the
     block boundaries may differ (per Arrow batch rather than per cached
     partition), which no consumer observes (doc runs within a term stay
@@ -442,6 +446,10 @@ def invert_pack_blocks(
             (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
         )
         total = int(lens.sum())
+        # doc-meta side-channel first: one sentinel row per chunk carrying
+        # the chunk's (doc_id, doclen) pairs — emitted even for a chunk of
+        # all-empty docs (doclen 0 docs must appear in doc_meta)
+        yield _doc_meta_sentinel(doc_ids.astype(np.int64), lens)
         if total == 0:
             return
         flat = pa.array([t for toks in tok_lists for t in toks], type=pa.string())
@@ -478,7 +486,6 @@ def invert_pack_blocks(
             lens[gd[gstart]],
             pos_bytes,
             byte_cum[val_off],
-            avgdl,
             block,
         )
 
@@ -521,46 +528,57 @@ def invert_pack_blocks(
 
 
 def term_stats_from_blocks(blocks: DataFrame) -> DataFrame:
-    """(term, df, cf) derived from packed blocks: df sums the per-block
-    entry counts (pure metadata), cf decodes only the tiny tfs_blob per
-    block. Replaces a full posting-row aggregation — the input is
-    ~n_blocks rows, not ~n_postings."""
+    """(term, df, cf) as a PURE COLUMN AGGREGATE over block metadata:
+    df sums the per-block entry counts, cf sums the per-block ``tf_sum``
+    column baked in at pack time. No blob decode, no Python stage — the
+    input is ~n_blocks metadata rows, whole-stage codegen end to end (the
+    round-4 version decoded every tfs_blob through a mapInArrow kernel,
+    a flat ~1.1s at every parallelism level)."""
+    return (
+        blocks.filter(F.col("term") != DOC_META_TERM)
+        .groupBy("term")
+        .agg(F.sum("n").alias("df"), F.sum("tf_sum").alias("cf"))
+    )
+
+
+def doc_meta_from_blocks(blocks: DataFrame) -> DataFrame:
+    """(doc_id, doclen) decoded from the DOC_META_TERM sentinel rows the
+    fused build emits (one per doc chunk). Tiny input: ~one row per 10k
+    docs; the decode is one Arrow-batched kernel over those rows only."""
     import pyarrow as pa
 
-    def per_block(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
-        schema = pa.schema(
-            [("term", pa.string()), ("n", pa.int64()), ("tf_sum", pa.int64())]
-        )
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            cols = {nm: batch.column(i) for i, nm in enumerate(batch.schema.names)}
-            # ONE vb_decode over the whole batch's concatenated tfs stream
-            # (varbyte is self-delimiting; each row's value count is its
-            # entry count n), then per-row segment sums — no per-row Python
-            tfs_col = cols["tfs_blob"]
-            bufs = tfs_col.buffers()
-            raw_off = np.frombuffer(bufs[1], dtype=np.int32)
-            boff = raw_off[tfs_col.offset : tfs_col.offset + len(tfs_col) + 1]
-            stream = np.frombuffer(bufs[2], dtype=np.uint8)[boff[0] : boff[-1]]
-            vals = codec.vb_decode(stream).astype(np.int64)
-            n = cols["n"].to_numpy().astype(np.int64)
-            starts = np.zeros(len(n), dtype=np.int64)
-            np.cumsum(n[:-1], out=starts[1:])
-            tf_sums = np.add.reduceat(vals, starts)
-            tf_sums[n == 0] = 0
-            yield pa.RecordBatch.from_arrays(
-                [
-                    cols["term"],
-                    cols["n"].cast(pa.int64()),
-                    pa.array(tf_sums, type=pa.int64()),
-                ],
-                schema=schema,
-            )
+    sent = blocks.filter(F.col("term") == DOC_META_TERM).select(
+        "doc_ids_blob", "doclens_blob"
+    )
 
-    m = blocks.select("term", "n", "tfs_blob").mapInArrow(
-        per_block, "term string, n long, tf_sum long"
+    def decode(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        schema = pa.schema([("doc_id", pa.int64()), ("doclen", pa.int32())])
+        for batch in batches:
+            for i in range(batch.num_rows):
+                ids = codec.decode_ids(batch.column(0)[i].as_py()).astype(np.int64)
+                dls = codec.vb_decode(batch.column(1)[i].as_py()).astype(np.int32)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids, type=pa.int64()), pa.array(dls, type=pa.int32())],
+                    schema=schema,
+                )
+
+    return sent.mapInArrow(decode, "doc_id long, doclen int")
+
+
+def collection_stats_from_blocks(blocks: DataFrame) -> dict:
+    """{docN, avgdl, len_sum} from sentinel-row METADATA alone (no blob
+    decode): docN = sum(n), len_sum = sum(tf_sum) — the sentinel's tf_sum
+    is its chunk's uncapped token total. One tiny column aggregate; this
+    is the action that materializes the fused build's single corpus scan."""
+    row = (
+        blocks.filter(F.col("term") == DOC_META_TERM)
+        .agg(F.sum("n").alias("docN"), F.sum("tf_sum").alias("len_sum"))
+        .collect()[0]
     )
-    return m.groupBy("term").agg(
-        F.sum("n").alias("df"), F.sum("tf_sum").alias("cf")
-    )
+    docN = int(row["docN"] or 0)
+    len_sum = int(row["len_sum"] or 0)
+    return {
+        "docN": docN,
+        "avgdl": (len_sum / docN) if docN else 0.0,
+        "len_sum": len_sum,
+    }

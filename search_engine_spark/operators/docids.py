@@ -43,8 +43,9 @@ def assign_doc_ids(
 
     Two-phase distributed row_number over DATA-derived buckets:
 
-    1. sample ~``sample_per_bucket`` values per target bucket (seeded, one
-       driver-side collect), freeze the bucket boundaries in a broadcast;
+    1. ONE narrow job over the order column returns each partition's row
+       count AND an evenly-spaced value sample; the driver freezes bucket
+       boundaries at the weighted sample quantiles (deterministic — no RNG);
     2. bucket each row with a vectorized searchsorted over the frozen
        boundaries (a pure function of the row — re-execution, AQE
        re-planning, and speculative tasks all agree);
@@ -64,18 +65,54 @@ def assign_doc_ids(
 
     spark = docs.sparkSession
     n_buckets = max(1, buckets_per_core * spark.sparkContext.defaultParallelism)
-    total = docs.count()
+    # ONE column-pruned job yields BOTH the row count and the boundary
+    # sample: each input partition emits (its row count, an evenly-spaced
+    # systematic sample of its values), and the driver takes weighted
+    # quantiles (weight = partition_rows / partition_samples, so small
+    # partitions don't bias the boundaries). The previous flow paid a
+    # count() job + a sample().collect() job — two full scans where one
+    # narrow scan of the order column suffices. Deterministic by
+    # construction (even spacing, no RNG) — the frozen-boundary property
+    # the docstring requires.
+    n_parts = max(docs.rdd.getNumPartitions(), 1)
+    cap = max(8, -(-(sample_per_bucket * n_buckets) // n_parts))
+    dtype = docs.schema[order_col].dataType.simpleString()
+
+    def _count_and_sample(batches):
+        cnt = 0
+        picked = []
+        for pdf in batches:
+            v = pdf[order_col]
+            cnt += len(v)
+            if len(v):
+                picked.append(v.iloc[:: max(1, len(v) // cap)])
+        got = pd.concat(picked) if picked else pd.Series([], dtype=object)
+        if len(got) > cap:
+            got = got.iloc[:: max(1, len(got) // cap)]
+        yield pd.DataFrame({"cnt": [cnt], "vals": [got.tolist()]})
+
+    parts = (
+        docs.select(order_col)
+        .mapInPandas(_count_and_sample, f"cnt long, vals array<{dtype}>")
+        .collect()
+    )
+    total = sum(r["cnt"] for r in parts)
     if total == 0:
         return docs.withColumn("doc_id", F.lit(None).cast("long"))
-    frac = min(1.0, float(sample_per_bucket * n_buckets) / float(total))
-    sample = sorted(
-        r[0] for r in docs.select(order_col).sample(False, frac, seed=42).collect()
-    )
-    if sample:
-        step = len(sample) / float(n_buckets)
-        boundaries = sorted({sample[int(i * step)] for i in range(1, n_buckets)})
-    else:
-        boundaries = []
+    weighted = []
+    for r in parts:
+        if r["vals"]:
+            w = r["cnt"] / len(r["vals"])
+            weighted.extend((v, w) for v in r["vals"])
+    weighted.sort(key=lambda t: t[0])
+    targets = [(k * total) / n_buckets for k in range(1, n_buckets)]
+    bounds, cum, ti = [], 0.0, 0
+    for v, w in weighted:
+        cum += w
+        while ti < len(targets) and cum >= targets[ti]:
+            bounds.append(v)
+            ti += 1
+    boundaries = sorted(set(bounds))
     if len(boundaries) <= 512:
         # searchsorted(side=right) as a BINARY-SEARCH `when` tree: each row
         # evaluates only the ~log2(n_buckets) comparisons along its path,
@@ -122,8 +159,14 @@ def assign_doc_ids(
     # single heavy partition straggles the whole build stage (measured:
     # the fused pack ran 73s at local[32] on the 1/core layout vs 28s on
     # this one, 400k docs).
-    bucketed = docs.withColumn("_bkt", bucket_col).repartition(n_buckets, "_bkt")
-    counts = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    with_bkt = docs.withColumn("_bkt", bucket_col)
+    bucketed = with_bkt.repartition(n_buckets, "_bkt")
+    # bucket counts straight off the (column-pruned) source, NOT off the
+    # repartitioned frame: the aggregate combines map-side and ships only
+    # n_buckets partials, where the old form paid the FULL-ROW exchange a
+    # second time just to count (the broadcast-offsets subtree executes as
+    # its own job and shares nothing with the main query's exchange)
+    counts = with_bkt.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
     woff = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)))
     w = Window.partitionBy("_bkt").orderBy(order_col)

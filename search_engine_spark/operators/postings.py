@@ -93,9 +93,17 @@ def term_stats_salted(tokens: DataFrame, n_salts: int = 32) -> DataFrame:
 
 
 def collection_stats(doc_meta_df: DataFrame) -> dict:
-    """Scalar stats: docN, avgdl (float), termN supplied separately."""
+    """Scalar stats: docN, avgdl, and the exact integer len_sum (total
+    token count — lets index MERGE recompute the merged avgdl exactly as
+    (len_sum_l + len_sum_r) / docN instead of a float-weighted mean)."""
     row = doc_meta_df.agg(
         F.count(F.lit(1)).alias("docN"),
-        F.avg("doclen").alias("avgdl"),
+        F.sum("doclen").alias("len_sum"),
     ).collect()[0]
-    return {"docN": int(row["docN"]), "avgdl": float(row["avgdl"] or 0.0)}
+    docN = int(row["docN"])
+    len_sum = int(row["len_sum"] or 0)
+    return {
+        "docN": docN,
+        "avgdl": (len_sum / docN) if docN else 0.0,
+        "len_sum": len_sum,
+    }

@@ -132,7 +132,7 @@ def finalize_index(spark: SparkSession, path: str, n_parts: int = 8, block: int 
     dmeta = docs.select("doc_id", "doclen")
     stats = P.collection_stats(dmeta)
     tstats = P.term_stats(rows.select("term", "doc_id", "tf"))
-    doc_blocks = pack_blocks(rows, stats["avgdl"], block=block, layout="doc")
+    doc_blocks = pack_blocks(rows, block=block, layout="doc")
     return InvertedIndex(
         postings=unpack_blocks(doc_blocks),
         blocks=doc_blocks,
@@ -142,4 +142,5 @@ def finalize_index(spark: SparkSession, path: str, n_parts: int = 8, block: int 
         docN=stats["docN"],
         avgdl=stats["avgdl"],
         doc_blocks=doc_blocks,
+        len_sum=stats.get("len_sum"),
     )

@@ -88,6 +88,21 @@ def _overlaps(first: np.ndarray, last: np.ndarray, ranges: np.ndarray) -> np.nda
     return ok
 
 
+def _block_ub_tfn(max_tf: np.ndarray, min_dl: np.ndarray, avgdl: float) -> np.ndarray:
+    """Per-block BM25 tf-normalization UPPER BOUND, evaluated at serve time.
+
+    The packed blocks store avgdl-independent extremes (block_max_tf,
+    block_min_dl); tfn is monotone increasing in tf and decreasing in
+    doclen, so tfn(max_tf, min_dl, avgdl) >= every entry's tfn. Uses the
+    exact float64 expression of _score_one_query, so a single-entry block's
+    bound equals its score bit-for-bit (never below it)."""
+    k1, b = S.BM25_K1, S.BM25_B
+    frac = S.BM25_K1 / avgdl
+    tf = max_tf.astype(np.float64)
+    dl = min_dl.astype(np.float64)
+    return (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + frac * dl))
+
+
 def _term_cover(pdfs: list[pd.DataFrame]) -> dict[str, np.ndarray]:
     """term -> merged union of its blocks' [first,last] doc ranges."""
     cover: dict[str, list] = {}
@@ -210,12 +225,16 @@ def _filter_decoded(decoded: dict, ranges: np.ndarray, terms=None) -> dict:
     return out
 
 
-def _interval_sweep(meta: pd.DataFrame, idfs: dict[str, float], n_terms: int, thresh: float):
+def _interval_sweep(
+    meta: pd.DataFrame, idfs: dict[str, float], n_terms: int, thresh: float, avgdl: float
+):
     """Elementary-interval upper-bound sweep over block metadata.
 
     Returns surviving [start, end] doc_id intervals (inclusive). An interval
     survives iff ln(1.3) + 0.5*(1 + sum_t max(ub_t, 0)) + 10000*n_terms >= T
-    where ub_t is the max covering-block upper bound of term t there.
+    where ub_t is the max covering-block upper bound of term t there
+    (idf * tfn(block_max_tf, block_min_dl, avgdl) — serve-time evaluation
+    of the avgdl-independent block-max metadata).
     """
     pts = np.unique(np.r_[meta["first_doc_id"].to_numpy(), meta["last_doc_id"].to_numpy() + 1])
     if len(pts) < 2:
@@ -227,7 +246,13 @@ def _interval_sweep(meta: pd.DataFrame, idfs: dict[str, float], n_terms: int, th
         ub = np.zeros(len(starts), dtype=np.float64)
         f = grp["first_doc_id"].to_numpy()
         l = grp["last_doc_id"].to_numpy()
-        u = np.maximum(grp["block_max_tfn"].to_numpy() * idf, 0.0)
+        u = np.maximum(
+            _block_ub_tfn(
+                grp["block_max_tf"].to_numpy(), grp["block_min_dl"].to_numpy(), avgdl
+            )
+            * idf,
+            0.0,
+        )
         # for each elementary interval, max ub among covering blocks
         for bf, bl, bu in zip(f, l, u):
             lo = np.searchsorted(starts, bf, "left")
@@ -294,7 +319,7 @@ def _batch_wand_shard(pdfs: list, qitems, avgdl: float, k: int, with_prox: bool)
     threshold).
 
       1. seed: per OR query, exactly score the doc range of its single
-         highest-upper-bound block (idf * block_max_tfn) -> threshold T =
+         highest-upper-bound block (idf * serve-time block-max tfn) -> threshold T =
          the query's local kth best total (a valid lower bound);
       2. sweep each query's block metadata into elementary doc intervals;
          an interval whose summed covering upper bounds (+ max prox ln 1.3
@@ -310,7 +335,9 @@ def _batch_wand_shard(pdfs: list, qitems, avgdl: float, k: int, with_prox: bool)
     meta = pd.concat(pdfs, ignore_index=True)
     first = meta["first_doc_id"].to_numpy()
     last = meta["last_doc_id"].to_numpy()
-    tfn = meta["block_max_tfn"].to_numpy(dtype=np.float64)
+    tfn = _block_ub_tfn(
+        meta["block_max_tf"].to_numpy(), meta["block_min_dl"].to_numpy(), avgdl
+    )
     # per-term block row indices, computed ONCE for the whole workload
     tindex = {t: np.asarray(ix) for t, ix in meta.groupby("term").indices.items()}
     dec = _RowDecoder(meta, with_prox)
@@ -355,7 +382,7 @@ def _batch_wand_shard(pdfs: list, qitems, avgdl: float, k: int, with_prox: bool)
         decoded = _filter_decoded(seed_decoded, seed, terms=[t for _, t, _ in kws])
         res = _score_one_query(kws, decoded, avgdl, "or", k, with_prox)
         thresh = float(res[5][k - 1]) if res is not None and len(res[0]) >= k else -math.inf
-        intervals = _interval_sweep(meta.take(rows_q), idfs, len(kws), thresh)
+        intervals = _interval_sweep(meta.take(rows_q), idfs, len(kws), thresh, avgdl)
         if not intervals:
             done[qid] = res  # everything outside the seed is provably below T
             continue

@@ -7,11 +7,17 @@ over libevent (searchd/httpd.c), parsing request JSON
 hit JSON that ``engine.SearchEngine.query_json`` already renders
 (searchd/utils.c:173-389). This module is the listener: a
 ``http.server.ThreadingHTTPServer`` handler that translates the reference
-request shape onto the engine facade. Spark driver-side concurrency note:
-requests are serialized through one engine lock — the batch path
-(``plans.serve.shard_search`` with a many-query workload) is the
-throughput surface; the daemon is the reference-compatible interactive
-surface.
+request shape onto the engine facade.
+
+Spark driver-side concurrency: concurrent requests are MICRO-BATCHED — the
+handler enqueues each request and a single drainer thread sweeps the queue
+(one bounded-latency window per sweep) into ONE ``query_json_many`` call,
+i.e. one batched Spark plan + one snippet pass for every concurrent client
+instead of one serialized job each. Under a single client this degenerates
+to the per-request path with one window of added latency (default 5 ms);
+under 32 concurrent clients it is the batch-serving shape the engine
+already optimizes (plans/serve.shard_search scores the whole workload per
+shard pass).
 
 Run: ``python -m search_engine_spark.searchd --index <path> [--port 8921]``
 """
@@ -20,10 +26,13 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 DEFAULT_PORT = 8921  # searchd/config.h:1
 DEFAULT_URI = "/search"  # searchd/config.h:2
+BATCH_WINDOW_MS = 5.0  # micro-batch accumulation window (latency bound)
+MAX_BATCH = 64  # requests per drained batch
 
 
 def keywords_to_qtext(kw_list) -> str:
@@ -42,7 +51,55 @@ def keywords_to_qtext(kw_list) -> str:
     return " ".join(parts)
 
 
-def make_handler(engine, lock: threading.Lock):
+class MicroBatcher:
+    """Drain concurrent requests into one ``query_json_many`` call.
+
+    ``submit`` blocks the calling handler thread until its reply is ready;
+    a single long-lived drainer thread waits for work, sleeps one
+    ``window_ms`` accumulation window (the latency price of batching), then
+    executes everything queued as ONE batch. Replies are matched back by
+    position. A batch-level failure answers every member with the
+    reference's window-calculation error code rather than killing the
+    daemon (searchd_ret SEARCHD_RET_WIND_CALC_ERR role)."""
+
+    def __init__(self, engine, window_ms: float = BATCH_WINDOW_MS, max_batch: int = MAX_BATCH):
+        self.engine = engine
+        self.window_s = window_ms / 1000.0
+        self.max_batch = max_batch
+        self._cond = threading.Condition()
+        self._queue: list[dict] = []
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, qtext: str, page: int, mode: str = "or") -> dict:
+        item = {"req": (qtext, page, mode), "done": threading.Event(), "out": None}
+        with self._cond:
+            self._queue.append(item)
+            self._cond.notify()
+        item["done"].wait()
+        return item["out"]
+
+    def _loop(self) -> None:
+        from .engine import RET_WINDOW_ERR, errcode_json
+
+        while True:
+            with self._cond:
+                while not self._queue:
+                    self._cond.wait()
+            time.sleep(self.window_s)  # let concurrent arrivals pile up
+            with self._cond:
+                batch = self._queue[: self.max_batch]
+                del self._queue[: self.max_batch]
+            try:
+                outs = self.engine.query_json_many([it["req"] for it in batch])
+            except Exception:
+                outs = [errcode_json(RET_WINDOW_ERR)] * len(batch)
+            for it, out in zip(batch, outs):
+                it["out"] = out
+                it["done"].set()
+
+
+def make_handler(batcher: MicroBatcher):
     class SearchHandler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -56,7 +113,7 @@ def make_handler(engine, lock: threading.Lock):
             self.wfile.write(body)
 
         def do_POST(self):  # noqa: N802 (http.server API)
-            from .engine import RET_BAD_JSON, RET_BAD_PAGE, RET_EMPTY_QRY, errcode_json
+            from .engine import RET_BAD_JSON, errcode_json
 
             if self.path != DEFAULT_URI:
                 self._reply(404, errcode_json(RET_BAD_JSON))
@@ -70,15 +127,10 @@ def make_handler(engine, lock: threading.Lock):
                 # searchd/run/searchd.c:53-59 malformed request JSON
                 self._reply(200, errcode_json(RET_BAD_JSON))
                 return
-            if page < 1:  # parse_json_qry signals failure with page 0
-                self._reply(200, errcode_json(RET_BAD_PAGE))
-                return
-            if not qtext.strip():
-                self._reply(200, errcode_json(RET_EMPTY_QRY))
-                return
-            with lock:  # one Spark action at a time on the shared session
-                out = engine.query_json(qtext, page=page)
-            self._reply(200, out)
+            # page 0 / missing page flows through to the engine's admission
+            # check, which answers BAD_JSON like the reference
+            # (parse_json_qry signals parse failure with page == 0)
+            self._reply(200, batcher.submit(qtext, page))
 
     return SearchHandler
 
@@ -86,7 +138,7 @@ def make_handler(engine, lock: threading.Lock):
 def serve(engine, port: int = DEFAULT_PORT, block: bool = True):
     """Start the daemon; returns the server object (non-blocking callers
     shut it down with ``server.shutdown()``)."""
-    srv = ThreadingHTTPServer(("127.0.0.1", port), make_handler(engine, threading.Lock()))
+    srv = ThreadingHTTPServer(("127.0.0.1", port), make_handler(MicroBatcher(engine)))
     if block:
         srv.serve_forever()
     else:

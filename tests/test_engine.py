@@ -46,3 +46,36 @@ def test_engine_build_save_load_math(spark, tmp_path):
     assert hits[0]["doc_id"] == 1  # term + exact math match outranks
     assert hits[0]["max_math"] == 1.0
     assert {r["doc_id"] for r in hits} >= {1, 2}
+
+
+def test_loaded_math_lr_probe_prunes_partitions(spark, tmp_path):
+    """engine.save partitions the math tables by the probe key's hash
+    bucket; a loaded engine's MNC candidate scan must carry the bucket
+    filter (partition pruning — the directory-per-subpath seek of
+    math-index/dir-merge.c:74-89) and return the same hits as the unsaved
+    engine."""
+    docs = spark.createDataFrame(
+        [
+            (i, f"https://m/{i}", f"formula w{i % 7} [imath]\\frac{{a}}{{b_{{{i}}}}}[/imath]")
+            for i in range(1, 41)
+        ],
+        "doc_id long, url string, text string",
+    )
+    eng = SearchEngine.build(spark, docs, with_math=True, id_col="doc_id")
+    path = str(tmp_path / "idx_bucketed")
+    eng.save(path)
+    eng2 = SearchEngine.load(spark, path)
+    assert "lseg_bucket" in eng2.math_lr_postings.columns
+    assert "sp_bucket" in eng2.math_postings.columns
+
+    q = "formula [imath]\\frac{a}{b_{3}}[/imath]"
+    fresh = [(r["doc_id"], round(r["score"], 6)) for r in eng.query(q).collect()]
+    loaded = [(r["doc_id"], round(r["score"], 6)) for r in eng2.query(q).collect()]
+    assert fresh == loaded and fresh
+
+    # plan-level check: the lr scan is partition-pruned by the bucket set
+    from search_engine_spark.math.search import _mnc_per_exp
+
+    pe = _mnc_per_exp(spark, eng2.math_lr_postings, "\\frac{a}{b_{3}}")
+    plan = pe._jdf.queryExecution().executedPlan().toString()
+    assert "lseg_bucket" in plan  # the bucket filter reached the scan

@@ -61,11 +61,21 @@ def test_block_roundtrip(index200):
     unpacked = unpack_blocks(index200.blocks).collect()
     got = {(r["term"], r["doc_id"]): (r["tf"], list(r["positions"])) for r in unpacked}
     assert got == exp
-    # block invariants
+    # block invariants (sentinel doc-meta rows carry chunk doclens instead)
+    from search_engine_spark.operators.blocks import DOC_META_TERM
+
+    saw_sentinel = False
     for b in index200.blocks.collect():
         assert b["first_doc_id"] <= b["last_doc_id"]
+        if b["term"] == DOC_META_TERM:
+            saw_sentinel = True
+            assert b["n"] > 0 and b["tf_sum"] > 0
+            continue
         assert 0 < b["n"] <= 32
-        assert b["block_max_tfn"] > 0
+        assert b["block_max_tf"] > 0
+        assert b["block_min_dl"] > 0  # a posting implies >=1 token in the doc
+        assert b["tf_sum"] >= b["block_max_tf"]
+    assert saw_sentinel  # the fused build must emit the doc-meta side-channel
 
 
 def test_term_stats_and_negative_idf_term(index200, pydocs200):

@@ -319,3 +319,26 @@ def test_mixed_kernel_matches_frame_combine_and_sheds_shuffles(spark):
     fp = frame_res._jdf.queryExecution().executedPlan().toString()
     assert kp.count("Exchange") < fp.count("Exchange"), (
         kp.count("Exchange"), fp.count("Exchange"))
+
+
+def test_mixed_broadcast_byte_budget_fallback(spark, math_setup):
+    """A math payload exceeding the broadcast byte budget (here: a 64-byte
+    budget, standing in for a pathological-position corpus) must route the
+    mixed query through the DataFrame combine and return EXACTLY what the
+    in-kernel broadcast path returns — the budget is a routing decision,
+    never a semantic."""
+    from search_engine_spark.math.search import mixed_search
+    from search_engine_spark.operators.dedup import release
+
+    idx, mp = math_setup
+    q = "frac [imath]\\frac{a}{b}[/imath]"
+    fast = mixed_search(spark, idx, mp, q).collect()
+    slow_df = mixed_search(spark, idx, mp, q, broadcast_budget_bytes=64)
+    slow = slow_df.collect()
+    release(slow_df)  # frees the persisted per-tex frames the plan read
+    key = lambda r: (r["doc_id"],)
+    assert sorted(
+        [(r["doc_id"], round(r["score"], 9), round(r["max_math"], 9)) for r in fast], key=lambda t: t[0]
+    ) == sorted(
+        [(r["doc_id"], round(r["score"], 9), round(r["max_math"], 9)) for r in slow], key=lambda t: t[0]
+    )

@@ -54,7 +54,9 @@ def test_empty_and_malformed_queries(daemon):
     # reference return-code enum (searchd/utils.h:9-24): 1 = empty query,
     # 2 = invalid JSON, 4 = illegal page, 6/7 = too many math/term keywords
     assert _post(daemon, {"page": 1, "kw": []})["ret_code"] == 1
-    assert _post(daemon, {"kw": [{"type": "term", "str": "x"}]})["ret_code"] == 4  # page 0
+    # page 0 = parse_json_qry failure -> BAD_JSON, like the reference
+    # (searchd/run/searchd.c:48-52; parse_json_qry returns 0 on bad page)
+    assert _post(daemon, {"kw": [{"type": "term", "str": "x"}]})["ret_code"] == 2
     assert _post(daemon, {"page": 1})["ret_code"] == 1
     assert _post(daemon, {"page": 1, "kw": [{"type": "nope", "str": "x"}]})["ret_code"] == 2
     # letter-only words (digits tokenize away) so 21 DISTINCT terms survive
@@ -62,6 +64,38 @@ def test_empty_and_malformed_queries(daemon):
     assert _post(daemon, {"page": 1, "kw": too_many})["ret_code"] == 7
     out = _post(daemon, {"page": 999, "kw": [{"type": "term", "str": "waaaa"}]})
     assert out["ret_code"] == 4  # page past the rank window
+
+
+def test_no_hit_page_parity(daemon):
+    # search_results_json (utils.c:360-363): (i | tot_pages) == 0 -> NO_HIT
+    # only on PAGE 1 of an empty result; page > 1 of an empty result is
+    # ILLEGAL_PAGENUM (i >= tot_pages fires first when i > 0)
+    miss = [{"type": "term", "str": "zzzqnohit"}]
+    assert _post(daemon, {"page": 1, "kw": miss})["ret_code"] == 3
+    assert _post(daemon, {"page": 2, "kw": miss})["ret_code"] == 4
+
+
+def test_concurrent_requests_micro_batched(daemon):
+    """32 concurrent POSTs drain through one query_json_many batch; every
+    reply must equal the same request served alone."""
+    import threading
+
+    reqs = [
+        {"page": 1, "kw": [{"type": "term", "str": f"{vocab_word(i % 9)} {vocab_word((3 * i) % 40)}"}]}
+        for i in range(32)
+    ]
+    solo = [_post(daemon, r) for r in reqs]
+    got = [None] * len(reqs)
+
+    def hit(i):
+        got[i] = _post(daemon, reqs[i])
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert got == solo
 
 
 def test_keywords_to_qtext_tex_roundtrip():

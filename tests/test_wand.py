@@ -41,15 +41,15 @@ def test_wand_actually_prunes(spark, index200):
     terms = [W(0)]
     meta = (
         index200.blocks.filter(F.col("term").isin(terms))
-        .select("term", "first_doc_id", "last_doc_id", "block_max_tfn")
+        .select("term", "first_doc_id", "last_doc_id", "block_max_tf", "block_min_dl")
         .toPandas()
     )
     idfs = {W(0): idf_fn(180.0, 200.0)}
     # a very high threshold must prune everything
-    surv = _interval_sweep(meta, idfs, 1, thresh=1e12)
+    surv = _interval_sweep(meta, idfs, 1, thresh=1e12, avgdl=index200.avgdl)
     assert surv == []
     # a very low threshold keeps everything
-    surv = _interval_sweep(meta, idfs, 1, thresh=-1e12)
+    surv = _interval_sweep(meta, idfs, 1, thresh=-1e12, avgdl=index200.avgdl)
     total = sum(e - s + 1 for s, e in surv)
     assert total >= int(meta["last_doc_id"].max() - meta["first_doc_id"].min())
 
