@@ -217,12 +217,39 @@ def _mnc_per_exp(spark: SparkSession, lr_postings: DataFrame, tex: str) -> DataF
     # rows three times and invoked Python once per candidate EXPRESSION —
     # thousands of micro-groups, each building a 1-row pandas frame
     # (measured 5.3-7.1s for a 5k-doc template corpus). Here the matched
-    # rows are hash-partitioned by (doc_id, exp_id) once; each partition's
-    # kernel checks the AND-merge predicate (all n_q distinct query paths
-    # present) and runs the mark-and-cross bitmap per surviving group —
-    # identical results, per-partition Python cost.
+    # rows are hash-partitioned by (doc_id, exp_id) once and SORTED WITHIN
+    # the partition on that key, so the kernel processes groups
+    # STREAMINGLY: it holds one candidate expression's rows at a time and
+    # flushes completed groups between Arrow batches — worst-case task
+    # memory is max-group-size, never whole-partition-size (a hostile
+    # corpus slice matching one query path cannot OOM the scorer). Each
+    # surviving group still runs the AND-merge predicate (all n_q distinct
+    # query paths present) and the mark-and-cross bitmap.
     def score_part(batches):
-        groups: dict[tuple, list] = {}
+        cur_key = None
+        cur_rows: list = []
+        out_d, out_e, out_s, out_p = [], [], [], []
+
+        def _flush_group():
+            if cur_key is None or not cur_rows:
+                return
+            rws = cur_rows
+            if len({r[7] for r in rws}) != n_q:
+                return  # AND merge: every query path must match
+            # dedup by path_id in path order (a doc path can satisfy
+            # several query paths); n_lr carries the true expression size
+            seen = set()
+            dedup = []
+            for r in sorted(rws, key=lambda x: x[4]):
+                if r[4] in seen:
+                    continue
+                seen.add(r[4])
+                dedup.append((r[2], r[3], int(r[4])))
+            out_d.append(cur_key[0])
+            out_e.append(cur_key[1])
+            out_s.append(_mnc_sim_sparse(qlist, dedup, int(rws[0][5])))
+            out_p.append(int(rws[0][6]))
+
         for pdf in batches:
             for row in zip(
                 pdf["doc_id"].to_numpy(),
@@ -234,32 +261,27 @@ def _mnc_per_exp(spark: SparkSession, lr_postings: DataFrame, tex: str) -> DataF
                 pdf["exp_pos"].to_numpy(),
                 pdf["q_ord"].to_numpy(),
             ):
-                groups.setdefault((int(row[0]), int(row[1])), []).append(row)
-        out_d, out_e, out_s, out_p = [], [], [], []
-        for (d, e), rws in groups.items():
-            if len({r[7] for r in rws}) != n_q:
-                continue  # AND merge: every query path must match
-            # dedup by path_id in path order (a doc path can satisfy
-            # several query paths); n_lr carries the true expression size
-            seen = set()
-            dedup = []
-            for r in sorted(rws, key=lambda x: x[4]):
-                if r[4] in seen:
-                    continue
-                seen.add(r[4])
-                dedup.append((r[2], r[3], int(r[4])))
-            out_d.append(d)
-            out_e.append(e)
-            out_s.append(_mnc_sim_sparse(qlist, dedup, int(rws[0][5])))
-            out_p.append(int(rws[0][6]))
+                key = (int(row[0]), int(row[1]))
+                if key != cur_key:
+                    _flush_group()
+                    cur_key, cur_rows = key, []
+                cur_rows.append(row)
+            if out_d and len(out_d) >= 4096:
+                yield pd.DataFrame(
+                    {"doc_id": out_d, "exp_id": out_e, "mnc_score": out_s, "exp_pos": out_p}
+                )
+                out_d, out_e, out_s, out_p = [], [], [], []
+        _flush_group()
         if out_d:
             yield pd.DataFrame(
                 {"doc_id": out_d, "exp_id": out_e, "mnc_score": out_s, "exp_pos": out_p}
             )
 
     npart = spark.sparkContext.defaultParallelism
-    return matched.repartition(npart, "doc_id", "exp_id").mapInPandas(
-        score_part, "doc_id long, exp_id int, mnc_score long, exp_pos int"
+    return (
+        matched.repartition(npart, "doc_id", "exp_id")
+        .sortWithinPartitions("doc_id", "exp_id")
+        .mapInPandas(score_part, "doc_id long, exp_id int, mnc_score long, exp_pos int")
     )
 
 

@@ -34,9 +34,19 @@ from dataclasses import dataclass, field
 UNORDERED = {"add", "times", "rel", "fun", "sep"}
 ORDERED = {"frac", "sup", "sub", "root", "neg", "fact", "binom", "mod", "vect", "mat", "row"}
 
+# VAR-leaf macro vocabulary (lexer.template.l:320-430 — every one lexes to
+# a VAR token whose _AUTOGEN_ symbol is the macro name): greek both cases,
+# var* variants, and the letterlike/misc symbols of the same block
 _GREEK = (
     "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi "
-    "pi rho sigma tau upsilon phi chi psi omega infty"
+    "pi rho sigma tau upsilon phi chi psi omega omicron infty "
+    "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta Iota Kappa Lambda Mu Nu Xi "
+    "Pi Rho Sigma Tau Upsilon Phi Chi Psi Omega Omicron "
+    "varepsilon varkappa varphi varpi varrho varsigma vartheta varnothing "
+    "varDelta varGamma varLambda varOmega varPhi varPi varPsi varSigma "
+    "varTheta varUpsilon varXi "
+    "aleph beth eth ell hbar imath jmath mho wr amalg angle backepsilon "
+    "empty emptyset partial nabla top triangle triangledown Re Im"
 ).split()
 # function-name classes (lexer.template.l TRIGONOMETRIC/LOG/NAME_FUN/
 # MAXMIN/SIGN FUN_CLASS rules): each lexes to one FUN token whose symbol is
@@ -80,12 +90,49 @@ _RELS.update(
 _IGNORED_CMDS = {"left", "right", "big", "Big", "bigg", "Bigg", "limits", "nolimits",
                  "quad", "qquad", ",", ";", "!", " ", "mathrm", "mathbf", "mathit",
                  "mathcal", "mathbb", "mathfrak", "mathsf", "boldsymbol", "bm",
-                 "displaystyle", "textstyle", "scriptstyle", "thinspace"}
+                 "displaystyle", "textstyle", "scriptstyle", "thinspace",
+                 # font/style tranche (round 5): every one of these hits the
+                 # reference lexer's omit-undefined rule (lexer.template.l:880)
+                 # so the wrapped symbol parses bare — \mathscr{L} == L
+                 "mathscr", "mathtt", "mathds", "mathnormal", "Bbb", "cal",
+                 "frak", "scr", "bold", "mathop", "mathbin", "mathrel",
+                 "mathord", "mathstrut", "phantom", "vphantom", "hphantom",
+                 "scriptscriptstyle", "medspace", "thickspace", "negthinspace",
+                 "enspace", "mkern", "mskip", "strut", "smash", "ensuremath"}
 # content-IGNORING commands (lexer.template.l:49-53 BEGIN(ign) rules): the
 # braced argument is swallowed whole — \text{speed} emits NO tokens
 _TEXT_CMDS = {"text", "mbox", "hbox", "textrm", "texttt", "textbf", "textit"}
 
 _ACCENTS = "vec hat bar dot ddot tilde overline underline widehat widetilde".split()
+
+# environment classes (lexer.template.l:145-161 vs 839-878): the matrix
+# family enters the lexer's <mat> start condition (rows/cols significant);
+# the align/equation family's \begin/\end markers VANISH and the body
+# parses inline ('&' dropped, '\\' a SEP — lexer rules 881 and 492)
+_MAT_ENVS = {"matrix", "vmatrix", "Vmatrix", "bmatrix", "Bmatrix", "pmatrix",
+             "smallmatrix", "cases"}
+_SKIP_ENVS = {"align", "alignat", "aligned", "alignedat", "array", "eqnarray",
+              "equation", "gather", "gathered", "multline", "split", "subarray"}
+_ARG_ENVS = {"alignat", "alignedat", "array", "subarray"}  # \begin{..}{arg}
+_LEGACY_MAT = {"pmatrix", "bmatrix", "vmatrix", "matrix", "cases", "array",
+               "substack"}  # plain-TeX \pmatrix{..} forms (and \array{)
+
+# every macro the parser gives meaning to; anything else that matches
+# \\[a-zA-Z]+ is OMITTED at the token level — the reference's
+# "omit undefined control sequence" rule (lexer.template.l:880), which is
+# what makes \heartsuit x parse as x and font wrappers symbol-preserving
+_KNOWN_MACROS = (
+    set(_GREEK) | set(_FUNS) | set(_BIGOPS) | set(_RELS) | _IGNORED_CMDS
+    | _TEXT_CMDS | set(_ACCENTS) | _LEGACY_MAT
+    | {"frac", "sqrt", "qvar", "binom", "begin", "end", "left", "right",
+       "over", "atop", "above", "choose", "cdot", "times", "ast", "circ",
+       "div", "bmod", "mod", "pmod", "stackrel", "overset", "underset",
+       "buildrel", "xleftarrow", "xrightarrow", "operatorname", "labs",
+       "rabs", "lfloor", "rfloor", "lceil", "rceil", "cr", "newline",
+       "lbrace", "rbrace", "langle", "rangle", "lvert", "rvert", "lVert",
+       "rVert", "Vert", "vert", "Vmatrix", "Bmatrix", "smallmatrix",
+       "sepnl"}
+)
 
 _TOKEN_RE = re.compile(
     r"\\\\|\\[a-zA-Z]+|\\[,;!{}| ]|[0-9]+(?:\.[0-9]+)?|[a-zA-Z]|[+\-*/^_=<>(){}\[\]!|,&']|\S"
@@ -365,7 +412,7 @@ class _Parser:
                 if self.peek() == "}":
                     self.next()
                 return rows[0] if len(rows) == 1 else Node("sep", children=rows)
-            if name in ("pmatrix", "bmatrix", "vmatrix", "matrix", "cases") and self.peek() == "{":
+            if name in ("pmatrix", "bmatrix", "vmatrix", "matrix", "cases", "array") and self.peek() == "{":
                 # plain-TeX legacy matrix form: \pmatrix{a & b \cr c & d}
                 return self._parse_matrix_body(close_brace=True)
             if name == "labs":  # \left| ... \right|  (preprocessed)
@@ -536,6 +583,91 @@ def _preprocess(toks: list[str]) -> list[str]:
             continue
         out.append(t)
         i += 1
+    return _strip_envs_and_unknown(out)
+
+
+def _strip_envs_and_unknown(toks: list[str]) -> list[str]:
+    r"""flex-parity environment + vocabulary pass (lexer.template.l):
+
+    - \begin/\end markers of the align/equation family VANISH (their body
+      parses inline; alignat/array-style column args are swallowed whole,
+      rules 839-878);
+    - '&' is DROPPED outside matrix scope (rule 881), where matrix scope is
+      env-form \begin{matrix-family}..\end{..} nesting or a legacy
+      \pmatrix{..} brace group (the lexer's mat_stack);
+    - '\\\\' / \newline outside matrix scope becomes the private
+      \sepnl marker (SEP-class separator, rule 492) — inside matrix scope
+      it stays the row break;
+    - any OTHER \\[a-zA-Z]+ macro the grammar gives no meaning is omitted
+      (rule 880) so its braced argument parses as a normal group —
+      \mathscr{L} == L, \heartsuit x == x.
+    """
+    out: list[str] = []
+    i, n = 0, len(toks)
+    mat_env = 0
+    legacy_at: list[int] = []  # brace depths where a legacy \pmatrix{ opened
+    brace = 0
+
+    def group(j: int) -> tuple[str, int]:
+        # toks[j] == "{": (joined content, index past the matching "}")
+        depth, j = 1, j + 1
+        parts = []
+        while j < n and depth:
+            tk = toks[j]
+            depth += tk == "{"
+            depth -= tk == "}"
+            if depth:
+                parts.append(tk)
+            j += 1
+        return "".join(parts), j
+
+    while i < n:
+        t = toks[i]
+        in_mat = mat_env > 0 or bool(legacy_at)
+        if t in ("\\begin", "\\end") and i + 1 < n and toks[i + 1] == "{":
+            env, j = group(i + 1)
+            base = env.rstrip("*")
+            if base in _SKIP_ENVS:
+                i = j
+                if t == "\\begin" and base in _ARG_ENVS and i < n and toks[i] == "{":
+                    _, i = group(i)
+                continue
+            if base in _MAT_ENVS:
+                mat_env = max(mat_env + (1 if t == "\\begin" else -1), 0)
+            out.append(t)
+            i += 1
+            continue
+        if (
+            t.startswith("\\")
+            and t[1:] in _LEGACY_MAT
+            and i + 1 < n
+            and toks[i + 1] == "{"
+        ):
+            legacy_at.append(brace)
+            out.append(t)
+            i += 1
+            continue
+        if t == "{":
+            brace += 1
+        elif t == "}":
+            brace -= 1
+            if legacy_at and brace <= legacy_at[-1]:
+                legacy_at.pop()
+        elif t == "&" and not in_mat:
+            i += 1
+            continue
+        elif t in ("\\\\", "\\newline") and not in_mat:
+            out.append("\\sepnl")
+            i += 1
+            continue
+        elif (
+            re.fullmatch(r"\\[a-zA-Z]+", t)
+            and t[1:] not in _KNOWN_MACROS
+        ):
+            i += 1  # omit undefined control sequence (lexer.template.l:880)
+            continue
+        out.append(t)
+        i += 1
     return out
 
 
@@ -547,6 +679,13 @@ def tex_parse(tex: str) -> Node:
     p = _Parser(toks)
     node = p.parse_rel()
     while p.peek() is not None:
+        if p.peek() == "\\sepnl":
+            # newline separator outside matrix scope (reference SEP token,
+            # lexer.template.l:492): the fold below IS the sep grouping
+            p.next()
+            if p.peek() is None:
+                break
+            continue
         # trailing content (e.g. comma lists): fold into a SEP group
         rest = p.parse_rel()
         node = Node("sep", children=[node, rest])

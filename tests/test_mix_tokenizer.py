@@ -175,3 +175,21 @@ def test_cjk_oracle_words_fmm_safe():
         assert (x + y[0]) not in dictionary, (x, y)
         assert (x + y) not in dictionary, (x, y)
         assert [w for w, _ in fmm_segment(x + y)] == [x, y]
+
+
+def test_round5_dict_growth_matches_cut_for_search_goldens():
+    """Goldens the pre-growth ~730-word dictionary UNDER-segmented (宣布 /
+    政策 / 研究生 were absent, so FMM fell back to single characters);
+    the grown list segments them exactly like jieba ``cut_for_search``
+    (word + in-dictionary sub-words at their own offsets)."""
+    from search_engine_spark.functions.cjk_dict import CJK_WORDS, fmm_segment
+
+    assert len(set(CJK_WORDS)) > 1500  # the growth actually shipped
+    assert fmm_segment("政府宣布新的经济政策") == [
+        ("政府", 0), ("宣布", 2), ("新", 4), ("的", 5), ("经济", 6), ("政策", 8),
+    ]
+    # cut_for_search sub-word re-emission on a 3-char and a 4-char compound
+    assert fmm_segment("研究生学机器学习") == [
+        ("研究", 0), ("研究生", 0), ("学", 3),
+        ("机器", 4), ("学习", 6), ("机器学习", 4),
+    ]

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pytest
 
-from search_engine_spark.math.texparse import tex_parse, tex_subpaths
+from search_engine_spark.math.texparse import tex_lr_paths, tex_parse, tex_subpaths
 
 # grammar.y token class -> representative TeX inputs
 GRAMMAR_CLASSES = {
@@ -103,7 +103,48 @@ def test_arrow_and_rel_long_tail_have_distinct_symbols():
     assert tex_subpaths("a \\sim b") != tex_subpaths("a \\cong b")
 
 
-def test_unknown_macro_still_degrades_to_leaf():
-    # unknown commands stay opaque leaves (lenient vs the reference's
-    # parse error; documented deviation)
-    assert tex_subpaths("\\notarealmacro + x")
+def test_unknown_macro_omitted_like_reference():
+    # \\[a-zA-Z]+ with no grammar meaning is OMITTED at the token level
+    # (lexer.template.l:880 "omit undefined control sequence"), so the
+    # rest of the expression parses as if the macro were absent
+    assert tex_subpaths("\\notarealmacro + x") == tex_subpaths("+ x")
+    assert tex_subpaths("\\heartsuit x") == tex_subpaths("x")
+
+
+def test_font_wrappers_are_symbol_preserving():
+    # font/style macros hit the same omit rule: the wrapped symbol parses
+    # bare, so \mathbb{R} == R (and styled twins are alpha-equal exactly)
+    assert tex_subpaths("\\mathbb{R}") == tex_subpaths("R")
+    assert tex_subpaths("\\mathcal{L} + 1") == tex_subpaths("L + 1")
+    assert tex_subpaths("\\boldsymbol{\\mu}") == tex_subpaths("\\mu")
+    assert tex_subpaths("\\mathrm{d}x") == tex_subpaths("dx")
+
+
+def test_align_family_envs_parse_inline():
+    # \begin/\end markers of the align/equation family vanish
+    # (lexer.template.l:839-878); '&' drops outside matrix scope (rule 881)
+    # and '\\\\' is a SEP separator (rule 492)
+    assert tex_subpaths("\\begin{align} x &= y \\\\ z &= w \\end{align}") == tex_subpaths(
+        "x = y \\\\ z = w"
+    )
+    assert tex_subpaths("\\begin{equation} E=mc^2 \\end{equation}") == tex_subpaths("E=mc^2")
+    assert tex_subpaths("\\begin{split} a &+ b \\end{split}") == tex_subpaths("a + b")
+    # array env markers skip too (the reference treats only the matrix
+    # family as <mat>; \begin{array}{cc} swallows its column spec)
+    assert tex_subpaths("\\begin{array}{cc} a & b \\end{array}") == tex_subpaths("a b")
+
+
+def test_matrix_envs_keep_tab_semantics():
+    # the matrix family still enters row/col-significant parsing, '&' alive
+    m1 = tex_subpaths("\\begin{pmatrix} a & b \\\\ c & d \\end{pmatrix}")
+    m2 = tex_subpaths("\\begin{pmatrix} b & a \\\\ c & d \\end{pmatrix}")
+    assert m1 and m1 != m2
+    # Bmatrix/Vmatrix variants share the class
+    assert tex_subpaths("\\begin{Bmatrix} a \\end{Bmatrix}")
+
+
+def test_capital_greek_and_letterlike_are_var_leaves():
+    # lexer.template.l:320-430 VAR-leaf vocabulary: capital greek, var*
+    # variants, letterlike symbols — each a leaf with its macro-name symbol
+    got = {sym for _, sym in tex_lr_paths("\\Gamma + \\varphi + \\aleph + \\partial")}
+    assert got >= {"Gamma", "varphi", "aleph", "partial"}
