@@ -36,28 +36,33 @@ def assign_doc_ids(
     docs: DataFrame,
     order_col: str = "url",
     scale_safe: bool = True,
-    buckets_per_core: int = 4,
+    buckets_per_core: int = 8,
     sample_per_bucket: int = 128,
 ) -> DataFrame:
     """Append a deterministic 1-based ``doc_id`` ordered by ``order_col``.
 
     Two-phase distributed row_number over DATA-derived buckets:
 
-    1. ONE narrow job over the order column returns each partition's row
-       count AND an evenly-spaced value sample; the driver freezes bucket
-       boundaries at the weighted sample quantiles (deterministic — no RNG);
+    1. a column-pruned count sizes a deterministic hash-mod sample of the
+       order column (murmur3(v) % p == 0 — a pure function of the data, no
+       RNG, no partition-layout dependence); the driver freezes bucket
+       boundaries at the sample's order-statistic quantiles;
     2. bucket each row with a vectorized searchsorted over the frozen
        boundaries (a pure function of the row — re-execution, AQE
        re-planning, and speculative tasks all agree);
     3. count rows per bucket, broadcast the cumulative offsets, and add
        them to the within-bucket rank.
 
-    4 buckets per core by default: downstream tokenize/pack stages inherit
+    8 buckets per core by default: downstream tokenize/pack stages inherit
     hash(bucket) partitioning — partitions own WHOLE buckets (hash never
     splits a key), preserving the doc-disjointness the doc-sharded serving
     layout requires — and one-task-per-core would let a single heavy range
     straggle the stage (measured 17s -> 3.5s on the invert stage at
-    local[32], 200k docs).
+    local[32], 200k docs). Granularity sweep on the fused invert+pack
+    stage (400k docs): 8/core beats 4/core at BOTH local[4] (18.1 ->
+    15.5s) and local[16] (6.0 -> 5.2s) — finer tasks smooth the tail AND
+    shrink the per-task term table into cache — while 16/core regresses
+    (6.4s: per-partition per-term overhead outgrows the locality win).
     """
     if not scale_safe:
         w = Window.orderBy(order_col)
@@ -65,54 +70,30 @@ def assign_doc_ids(
 
     spark = docs.sparkSession
     n_buckets = max(1, buckets_per_core * spark.sparkContext.defaultParallelism)
-    # ONE column-pruned job yields BOTH the row count and the boundary
-    # sample: each input partition emits (its row count, an evenly-spaced
-    # systematic sample of its values), and the driver takes weighted
-    # quantiles (weight = partition_rows / partition_samples, so small
-    # partitions don't bias the boundaries). The previous flow paid a
-    # count() job + a sample().collect() job — two full scans where one
-    # narrow scan of the order column suffices. Deterministic by
-    # construction (even spacing, no RNG) — the frozen-boundary property
-    # the docstring requires.
-    n_parts = max(docs.rdd.getNumPartitions(), 1)
-    cap = max(8, -(-(sample_per_bucket * n_buckets) // n_parts))
-    dtype = docs.schema[order_col].dataType.simpleString()
-
-    def _count_and_sample(batches):
-        cnt = 0
-        picked = []
-        for pdf in batches:
-            v = pdf[order_col]
-            cnt += len(v)
-            if len(v):
-                picked.append(v.iloc[:: max(1, len(v) // cap)])
-        got = pd.concat(picked) if picked else pd.Series([], dtype=object)
-        if len(got) > cap:
-            got = got.iloc[:: max(1, len(got) // cap)]
-        yield pd.DataFrame({"cnt": [cnt], "vals": [got.tolist()]})
-
-    parts = (
-        docs.select(order_col)
-        .mapInPandas(_count_and_sample, f"cnt long, vals array<{dtype}>")
-        .collect()
-    )
-    total = sum(r["cnt"] for r in parts)
+    # Boundary sampling is ALL-JVM: a column-pruned count() (on parquet a
+    # footer-metadata read, no data scan) sizes a deterministic hash-mod
+    # filter — murmur3(url) % p == 0 — whose survivors are the boundary
+    # sample. Two whole-stage-codegen scans that combine map-side. The
+    # previous flow ran ONE mapInPandas pass instead, and on a 160-split
+    # input it cost 6.1s at local[4] vs 0.7s for this (400k docs, cached
+    # corpus): every split paid the Python-worker Arrow round-trip just to
+    # count rows and slice a few urls. Hash sampling is also the stronger
+    # determinism: the sample is a pure function of the DATA (murmur3 is
+    # fixed by Spark's spec), independent of partition count or layout,
+    # where per-partition systematic sampling varied with the physical
+    # split. Boundaries are order statistics of the sample (uniform
+    # weights — each survivor represents ~p rows).
+    total = docs.select(order_col).count()
     if total == 0:
         return docs.withColumn("doc_id", F.lit(None).cast("long"))
-    weighted = []
-    for r in parts:
-        if r["vals"]:
-            w = r["cnt"] / len(r["vals"])
-            weighted.extend((v, w) for v in r["vals"])
-    weighted.sort(key=lambda t: t[0])
-    targets = [(k * total) / n_buckets for k in range(1, n_buckets)]
-    bounds, cum, ti = [], 0.0, 0
-    for v, w in weighted:
-        cum += w
-        while ti < len(targets) and cum >= targets[ti]:
-            bounds.append(v)
-            ti += 1
-    boundaries = sorted(set(bounds))
+    p = max(1, total // max(1, sample_per_bucket * n_buckets))
+    vals = sorted(
+        r[0]
+        for r in docs.select(order_col)
+        .where(F.pmod(F.hash(F.col(order_col)), F.lit(p)) == 0)
+        .collect()
+    )
+    boundaries = sorted({vals[(k * len(vals)) // n_buckets] for k in range(1, n_buckets)}) if vals else []
     if len(boundaries) <= 512:
         # searchsorted(side=right) as a BINARY-SEARCH `when` tree: each row
         # evaluates only the ~log2(n_buckets) comparisons along its path,
