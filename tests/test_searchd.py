@@ -14,9 +14,13 @@ from search_engine_spark.searchd import keywords_to_qtext, serve
 
 
 @pytest.fixture(scope="module")
-def daemon(spark):
-    eng = SearchEngine.build(spark, synth_corpus(spark, 200).cache())
-    srv = serve(eng, port=18921, block=False)
+def engine(spark):
+    return SearchEngine.build(spark, synth_corpus(spark, 200).cache())
+
+
+@pytest.fixture(scope="module")
+def daemon(engine):
+    srv = serve(engine, port=18921, block=False)
     yield "http://127.0.0.1:18921/search"
     srv.shutdown()
 
@@ -104,3 +108,25 @@ def test_keywords_to_qtext_tex_roundtrip():
         {"type": "tex", "str": "\\frac{a}{b}"},
     ])
     assert q == "see [imath]\\frac{a}{b}[/imath]"
+
+
+def test_page_window_render_matches_render_all(engine):
+    """query_json_many snippets ONLY the requested page window; replies must
+    be byte-identical to query_json's render-the-whole-rank-set path for
+    every page, including deep pages, past-the-end pages, and no-hit
+    queries (same reference error-code order)."""
+    q_hit = f"{vocab_word(1)} {vocab_word(2)}"
+    q_rare = vocab_word(39)
+    q_miss = "zzzqx"
+    reqs = [
+        (q_hit, 1, "or"),
+        (q_hit, 2, "or"),
+        (q_hit, 7, "or"),
+        (q_hit, 999, "or"),   # past the window -> ILLEGAL_PAGENUM
+        (q_rare, 1, "or"),
+        (q_miss, 1, "or"),    # page 1 of empty -> NO_HIT
+        (q_miss, 3, "or"),    # other page of empty -> ILLEGAL_PAGENUM
+    ]
+    solo = [engine.query_json(q, page=p, mode=m) for q, p, m in reqs]
+    batched = engine.query_json_many(reqs)
+    assert batched == solo
