@@ -46,7 +46,15 @@ _GREEK = (
     "varDelta varGamma varLambda varOmega varPhi varPi varPsi varSigma "
     "varTheta varUpsilon varXi "
     "aleph beth eth ell hbar imath jmath mho wr amalg angle backepsilon "
-    "empty emptyset partial nabla top triangle triangledown Re Im"
+    "empty emptyset partial nabla top triangle triangledown Re Im "
+    # VAR-class leaf long tail (lexer DOTS/PERP/angle rules — each lexes to
+    # a WC_NORMAL_LEAF with the macro name as symbol); forall/exists are
+    # SEP_CLASS operators in the reference (lexer.template.l:487) — leaf
+    # treatment here keeps their distinct symbols at the cost of the
+    # operator class, which matters less for subpath matching than the
+    # symbol identity does
+    "cdots ldots vdots ddots iddots dots dotsb dotsc dotsi dotsm dotso "
+    "forall exists nexists perp bot measuredangle sphericalangle"
 ).split()
 # function-name classes (lexer.template.l TRIGONOMETRIC/LOG/NAME_FUN/
 # MAXMIN/SIGN FUN_CLASS rules): each lexes to one FUN token whose symbol is
@@ -54,9 +62,12 @@ _GREEK = (
 _FUNS = (
     "sin cos tan sec csc cot sinh cosh tanh coth arcsin arccos arctan "
     "log ln lg exp lim liminf limsup min max sup inf det gcd deg dim hom "
-    "ker arg Pr sgn injlim projlim"
+    "ker arg Pr sgn injlim projlim varinjlim varprojlim varliminf varlimsup "
+    "sign signum"
 ).split()
-_BIGOPS = "sum prod int oint iint iiint idotsint coprod bigcup bigcap bigvee bigwedge bigoplus bigotimes bigsqcup".split()
+_BIGOPS = ("sum prod int oint iint iiint iiiint intop smallint idotsint "
+           "coprod bigcup bigcap bigvee bigwedge bigoplus bigotimes bigodot "
+           "biguplus bigsqcup bigcirc bigtriangleup bigtriangledown").split()
 # relation-class macros (lexer GTLS/SUBSET/CAPCUP/INNI REL_CLASS rules +
 # the ARROW SEP_CLASS family, folded into the rel chain): the reference
 # gives each an _AUTOGEN_ symbol (the macro name); '=' and friends share
@@ -84,7 +95,32 @@ _RELS.update(
         "longmapsto uparrow downarrow updownarrow nearrow searrow "
         "swarrow nwarrow hookleftarrow hookrightarrow rightharpoonup "
         "rightharpoondown leftharpoonup leftharpoondown implies "
-        "impliedby iff rightrightarrows leftleftarrows rightleftarrows"
+        "impliedby iff rightrightarrows leftleftarrows rightleftarrows "
+        # round-5b REL long tail (lexer GTLS/SUBSET/CAPCUP REL_CLASS rules
+        # 672-790): AMS comparison/similarity soup and their negations
+        "approxeq backsim backsimeq between circeq curlyeqprec curlyeqsucc "
+        "eqcirc eqsim eqslantgtr eqslantless geqq ggg gggtr gnapprox gneq "
+        "gneqq gnsim gtrapprox gtrdot gtreqless gtreqqless gtrless "
+        "gvertneqq leqq lessapprox lessdot lnapprox lneq lneqq lvertneqq "
+        "ncong ngeq ngeqq ngeqslant ngtr nleq nleqq nleqslant nless nmid "
+        "nprec npreceq nsim nsubseteq nsucc nsucceq nsupseteq precapprox "
+        "preccurlyeq precnapprox precneqq precnsim precsim succapprox "
+        "succcurlyeq succnapprox succneqq succnsim succsim thickapprox "
+        "thicksim triangleq varpropto varsubsetneq varsubsetneqq "
+        "varsupsetneq varsupsetneqq vartriangle vartriangleleft "
+        "vartriangleright triangleleft triangleright trianglelefteq "
+        "trianglerighteq unlhd unrhd sqsubset sqsupset Subset Supset "
+        "subseteqq supseteqq subsetneqq supsetneqq Cap Cup curlyvee "
+        "curlywedge veebar barwedge Join multimap smallfrown smallsmile frown "
+        # round-5b ARROW long tail (SEP_CLASS rules, folded like the rest)
+        "circlearrowleft circlearrowright curvearrowleft curvearrowright "
+        "downdownarrows downharpoonleft downharpoonright leadsto "
+        "leftarrowtail leftrightarrows leftrightharpoons "
+        "leftrightsquigarrow looparrowleft looparrowright nLeftarrow "
+        "nLeftrightarrow nRightarrow nleftarrow nleftrightarrow "
+        "nrightarrow rightarrowtail rightleftharpoons rightsquigarrow "
+        "upharpoonleft upharpoonright upuparrows Lleftarrow Rrightarrow "
+        "Lsh Rsh Uparrow Downarrow Updownarrow"
     ).split()}
 )
 _IGNORED_CMDS = {"left", "right", "big", "Big", "bigg", "Bigg", "limits", "nolimits",
@@ -100,8 +136,28 @@ _IGNORED_CMDS = {"left", "right", "big", "Big", "bigg", "Bigg", "limits", "nolim
                  "scriptscriptstyle", "medspace", "thickspace", "negthinspace",
                  "enspace", "mkern", "mskip", "strut", "smash", "ensuremath"}
 # content-IGNORING commands (lexer.template.l:49-53 BEGIN(ign) rules): the
-# braced argument is swallowed whole — \text{speed} emits NO tokens
+# braced argument is swallowed whole — \text{speed} emits NO tokens.
+# The spacing/markup commands with a dimension or label argument
+# (\hspace{1em}, \label{eq:1}, \tag{2}, \color{red}; lexer BEGIN(dim) and
+# label rules 124-140) get the same treatment: the braced argument
+# vanishes. (An unbraced dimension after \kern parses as bare tokens — a
+# documented simplification; braced forms dominate real queries.)
 _TEXT_CMDS = {"text", "mbox", "hbox", "textrm", "texttt", "textbf", "textit"}
+# spacing/markup commands whose braced argument vanishes AT THE TOKEN
+# level (lexer BEGIN(dim)/label rules emit no token at all, so a trailing
+# \label{..} is not a parse error the way a dangling \text{..} is)
+_ARG_SWALLOW_CMDS = {"hspace", "hskip", "mspace", "kern", "label", "tag",
+                     "color"}
+
+# infix operator classes from the lexer's ADD/NEG/TIMES/DIV rules
+# (lexer.template.l:66-98): each class maps onto the same parse production
+# as its ASCII twin (+ - * /); the reference keeps the macro name as the
+# token symbol and so do the parse productions below via their node class
+_ADD_MACROS = {"\\pm", "\\mp", "\\oplus", "\\dotplus"}
+_NEG_MACROS = {"\\ominus", "\\setminus", "\\smallsetminus", "\\backslash"}
+_TIMES_MACROS = {"\\cdot", "\\times", "\\ast", "\\circ", "\\otimes",
+                 "\\odot", "\\ltimes", "\\rtimes"}
+_DIV_MACROS = {"/", "\\div", "\\divideontimes"}
 
 _ACCENTS = "vec hat bar dot ddot tilde overline underline widehat widetilde".split()
 
@@ -131,7 +187,11 @@ _KNOWN_MACROS = (
        "rabs", "lfloor", "rfloor", "lceil", "rceil", "cr", "newline",
        "lbrace", "rbrace", "langle", "rangle", "lvert", "rvert", "lVert",
        "rVert", "Vert", "vert", "Vmatrix", "Bmatrix", "smallmatrix",
-       "sepnl"}
+       "sepnl",
+       # round-5b infix classes (ADD/NEG/TIMES/DIV lexer rules 66-98)
+       "pm", "mp", "oplus", "dotplus", "ominus", "setminus",
+       "smallsetminus", "backslash", "otimes", "odot", "ltimes", "rtimes",
+       "divideontimes"}
 )
 
 _TOKEN_RE = re.compile(
@@ -262,16 +322,20 @@ class _Parser:
     def parse_expr(self) -> Node:
         terms = []
         t = self.peek()
-        if t in ("+", "-"):
+        if t == "+" or t == "-" or t in _ADD_MACROS or t in _NEG_MACROS:
             self.next()
             first = self.parse_term()
-            terms.append(Node("neg", children=[first]) if t == "-" else first)
+            neg = t == "-" or t in _NEG_MACROS
+            terms.append(Node("neg", children=[first]) if neg else first)
         else:
             terms.append(self.parse_term())
-        while self.peek() in ("+", "-"):
+        while (p := self.peek()) is not None and (
+            p == "+" or p == "-" or p in _ADD_MACROS or p in _NEG_MACROS
+        ):
             opt = self.next()
             nxt = self.parse_term()
-            terms.append(Node("neg", children=[nxt]) if opt == "-" else nxt)
+            neg = opt == "-" or opt in _NEG_MACROS
+            terms.append(Node("neg", children=[nxt]) if neg else nxt)
         if len(terms) == 1:
             return terms[0]
         return Node("add", children=terms)
@@ -281,10 +345,10 @@ class _Parser:
         factors = [self.parse_factor()]
         while True:
             t = self.peek()
-            if t in ("*",) or t in ("\\cdot", "\\times", "\\ast", "\\circ"):
+            if t == "*" or t in _TIMES_MACROS:
                 self.next()
                 factors.append(self.parse_factor())
-            elif t in ("/", "\\div"):
+            elif t in _DIV_MACROS:
                 self.next()
                 denom = self.parse_factor()
                 num = factors.pop() if len(factors) == 1 else Node("times", children=factors)
@@ -564,6 +628,15 @@ def _preprocess(toks: list[str]) -> list[str]:
         "\\langle": "(", "\\rangle": ")",
         "\\lvert": "\\labs", "\\rvert": "\\rabs",
         "\\lVert": "\\labs", "\\rVert": "\\rabs", "\\Vert": "|", "\\vert": "|",
+        # round-5b variant folding: display/continued-fraction variants are
+        # the same FRAC/CHOOSE tokens in the lexer (lexer.template.l:114-122);
+        # \lbrack/\rbrack and \lgroup/\rgroup are plain bracket tokens
+        # (rules 249-252); \overrightarrow/\overleftarrow lex to the same
+        # VECT class as \vec (rules 214-217)
+        "\\cfrac": "\\frac", "\\dfrac": "\\frac", "\\tfrac": "\\frac",
+        "\\dbinom": "\\binom", "\\tbinom": "\\binom",
+        "\\lbrack": "(", "\\rbrack": ")", "\\lgroup": "(", "\\rgroup": ")",
+        "\\overrightarrow": "\\vec", "\\overleftarrow": "\\vec",
     }
     toks = [alias.get(t, t) for t in toks]
     out: list[str] = []
@@ -659,6 +732,16 @@ def _strip_envs_and_unknown(toks: list[str]) -> list[str]:
         elif t in ("\\\\", "\\newline") and not in_mat:
             out.append("\\sepnl")
             i += 1
+            continue
+        elif t.startswith("\\") and t[1:] in _ARG_SWALLOW_CMDS:
+            # \hspace{1em} / \label{eq:1} / \tag{2} / \color{red}: the
+            # lexer's BEGIN(dim)/label rules emit NO token for the macro or
+            # its argument — swallow both here so a trailing \label never
+            # reaches the grammar (unbraced \kern 1em keeps its bare
+            # dimension tokens; braced forms dominate real queries)
+            i += 1
+            if i < n and toks[i] == "{":
+                _, i = group(i)
             continue
         elif (
             re.fullmatch(r"\\[a-zA-Z]+", t)

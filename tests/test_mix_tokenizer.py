@@ -193,3 +193,24 @@ def test_round5_dict_growth_matches_cut_for_search_goldens():
         ("研究", 0), ("研究生", 0), ("学", 3),
         ("机器", 4), ("学习", 6), ("机器学习", 4),
     ]
+
+
+def test_round5b_dict_growth_goldens():
+    """Round-5b tranche (time/geography/sports/arts/professions/chengyu):
+    words the 2.1k list adds over the round-5 list, with cut_for_search
+    sub-word re-emission on the 4-char idioms (in-dictionary 2-char parts
+    emit at their own offsets before the idiom)."""
+    from search_engine_spark.functions.cjk_dict import CJK_WORDS, fmm_segment
+
+    assert len(set(CJK_WORDS)) > 2000
+    assert fmm_segment("奥运会马拉松冠军接受记者采访") == [
+        ("奥运会", 0), ("马拉松", 3), ("冠军", 6), ("接受", 8),
+        ("记者", 10), ("采", 12), ("访", 13),
+    ]
+    assert fmm_segment("他坚持不懈地学习") == [
+        ("他", 0), ("坚持", 1), ("坚持不懈", 1), ("地", 5), ("学习", 6),
+    ]
+    assert fmm_segment("程序员出差去首都机场") == [
+        ("程序", 0), ("程序员", 0), ("出差", 3), ("去", 5),
+        ("首都", 6), ("机场", 8),
+    ]

@@ -148,3 +148,56 @@ def test_capital_greek_and_letterlike_are_var_leaves():
     # variants, letterlike symbols — each a leaf with its macro-name symbol
     got = {sym for _, sym in tex_lr_paths("\\Gamma + \\varphi + \\aleph + \\partial")}
     assert got >= {"Gamma", "varphi", "aleph", "partial"}
+
+
+def test_round5b_infix_operator_classes():
+    # lexer.template.l:66-98 ADD/NEG/TIMES/DIV rules: each macro maps onto
+    # the same parse production as its ASCII twin
+    assert tex_subpaths("a \\pm b") == tex_subpaths("a + b")
+    assert tex_subpaths("a \\oplus b") == tex_subpaths("a + b")
+    assert tex_subpaths("x \\setminus y") == tex_subpaths("x - y")
+    assert tex_subpaths("x \\ominus y") == tex_subpaths("x - y")
+    assert tex_subpaths("A \\otimes B") == tex_subpaths("A \\times B")
+    assert tex_subpaths("A \\odot B") == tex_subpaths("A \\cdot B")
+    assert tex_subpaths("p \\divideontimes q") == tex_subpaths("p / q")
+
+
+def test_round5b_fraction_and_binom_variants_fold():
+    # display/continued variants are the same FRAC/CHOOSE token
+    # (lexer.template.l:114-122)
+    assert tex_subpaths("\\cfrac{a}{b}") == tex_subpaths("\\frac{a}{b}")
+    assert tex_subpaths("\\dfrac{a}{b}") == tex_subpaths("\\frac{a}{b}")
+    assert tex_subpaths("\\tfrac{a}{b}") == tex_subpaths("\\frac{a}{b}")
+    assert tex_subpaths("\\dbinom{n}{k}") == tex_subpaths("\\binom{n}{k}")
+    assert tex_subpaths("\\tbinom{n}{k}") == tex_subpaths("\\binom{n}{k}")
+
+
+def test_round5b_rel_long_tail_and_leaves():
+    # AMS relation soup lexes to the REL class (rules 672-790); dots /
+    # quantifier / perp macros are VAR leaves with their macro-name symbol
+    assert tex_subpaths("x \\approxeq y")  # parses, non-empty
+    assert tex_subpaths("x \\nleq y")
+    assert tex_subpaths("a \\triangleq b")
+    got = {sym for _, sym in tex_lr_paths("\\forall x , \\exists y , \\cdots , u \\perp v")}
+    assert got >= {"forall", "exists", "cdots"}
+
+
+def test_round5b_bracket_group_and_vect_aliases():
+    # \lbrack..\rbrack groups like a bracket pair (lexer rules 249-252);
+    # \overrightarrow is the \vec VECT class (rules 214-217)
+    assert tex_subpaths("\\lbrack x + y \\rbrack") == tex_subpaths("(x + y)")
+    assert tex_subpaths("\\overrightarrow{AB}") == tex_subpaths("\\vec{AB}")
+
+
+def test_round5b_dimension_and_label_args_vanish():
+    # \hspace{1em} / \label{eq:1} / \tag{2} / \color{red} swallow their
+    # braced argument (lexer BEGIN(dim)/label rules)
+    assert tex_subpaths("x \\hspace{1em} y") == tex_subpaths("x y")
+    assert tex_subpaths("E = mc^2 \\label{eq:emc}") == tex_subpaths("E = mc^2")
+    assert tex_subpaths("x \\color{red} + y") == tex_subpaths("x + y")
+
+
+def test_round5b_lim_variants_are_funs():
+    assert tex_subpaths("\\varinjlim f") == tex_subpaths("\\varinjlim f")
+    got = {sym for _, sym in tex_lr_paths("\\varinjlim f")}
+    assert "fun:varinjlim" in got
