@@ -36,7 +36,7 @@ def assign_doc_ids(
     docs: DataFrame,
     order_col: str = "url",
     scale_safe: bool = True,
-    buckets_per_core: int = 8,
+    docs_per_bucket: int = 8000,
     sample_per_bucket: int = 128,
 ) -> DataFrame:
     """Append a deterministic 1-based ``doc_id`` ordered by ``order_col``.
@@ -53,23 +53,29 @@ def assign_doc_ids(
     3. count rows per bucket, broadcast the cumulative offsets, and add
        them to the within-bucket rank.
 
-    8 buckets per core by default: downstream tokenize/pack stages inherit
-    hash(bucket) partitioning — partitions own WHOLE buckets (hash never
-    splits a key), preserving the doc-disjointness the doc-sharded serving
-    layout requires — and one-task-per-core would let a single heavy range
-    straggle the stage (measured 17s -> 3.5s on the invert stage at
-    local[32], 200k docs). Granularity sweep on the fused invert+pack
-    stage (400k docs): 8/core beats 4/core at BOTH local[4] (18.1 ->
-    15.5s) and local[16] (6.0 -> 5.2s) — finer tasks smooth the tail AND
-    shrink the per-task term table into cache — while 16/core regresses
-    (6.4s: per-partition per-term overhead outgrows the locality win).
+    The bucket COUNT is data-derived too — ``ceil(total / docs_per_bucket)``
+    (floored at the cluster's parallelism so small corpora still use every
+    core, capped at 32768 so driver-side boundary state stays bounded; at
+    10^12 docs raise ``docs_per_bucket`` with the cluster). Sizing the
+    layout by DATA rather than by core count means the SAME corpus builds
+    the SAME artifact — identical bucket boundaries, shard layout, and
+    store files — on any cluster size, exactly how Spark itself sizes
+    file splits (bytes, not cores), and it makes N-vs-4N scaling runs
+    measure one job instead of two differently-shaped ones. 8000
+    docs/bucket is the measured sweet spot of the fused invert+pack stage
+    (400k docs, local[16]: 6250/bucket -> 5.96s, 3125 -> 5.20s, 1562 ->
+    6.38s; 1M docs, local[16]: 8000/bucket -> 12.5s, 3000 -> 15.2s —
+    finer tasks smooth the straggler tail and shrink the per-task term
+    table into cache until per-task fixed costs outgrow the win).
+    Downstream tokenize/pack stages inherit hash(bucket) partitioning —
+    partitions own WHOLE buckets (hash never splits a key), preserving the
+    doc-disjointness the doc-sharded serving layout requires.
     """
     if not scale_safe:
         w = Window.orderBy(order_col)
         return docs.withColumn("doc_id", F.row_number().over(w).cast("long"))
 
     spark = docs.sparkSession
-    n_buckets = max(1, buckets_per_core * spark.sparkContext.defaultParallelism)
     # Boundary sampling is ALL-JVM: a column-pruned count() (on parquet a
     # footer-metadata read, no data scan) sizes a deterministic hash-mod
     # filter — murmur3(url) % p == 0 — whose survivors are the boundary
@@ -86,6 +92,13 @@ def assign_doc_ids(
     total = docs.select(order_col).count()
     if total == 0:
         return docs.withColumn("doc_id", F.lit(None).cast("long"))
+    n_buckets = min(
+        max(-(-total // docs_per_bucket), spark.sparkContext.defaultParallelism, 1),
+        32768,
+    )
+    # adaptive sample width: enough order statistics per boundary without
+    # ever collecting more than ~4M sampled values at huge bucket counts
+    sample_per_bucket = max(8, min(sample_per_bucket, 4_000_000 // n_buckets))
     p = max(1, total // max(1, sample_per_bucket * n_buckets))
     vals = sorted(
         r[0]
