@@ -221,18 +221,25 @@ class SearchEngine:
             return err
         res = self.query(qtext, mode=mode)
         rows = snippets_for(self.index, res, terms).collect()
+        # mixed_search's broadcast-budget-overflow fallback tags its result
+        # with the persisted per-tex frames (dedup.release protocol); free
+        # them now that the page is materialized — a long-lived daemon must
+        # not leak executor storage per overflowing math query
+        from .operators.dedup import release
+
+        release(res)
         return self._page_reply(rows, page)
 
     def query_json_many(self, requests: list[tuple[str, int, str]]) -> list[dict]:
         """Batched daemon replies: N ``(qtext, page, mode)`` requests in,
-        N ``query_json``-shaped dicts out — ONE ``search_many`` plan + ONE
-        batched snippet pass for every admissible term-only request (the
-        searchd micro-batcher drains concurrent POSTs through here, so 32
-        concurrent clients cost one Spark job instead of 32 serialized
-        ones). Math-bearing requests fall back to the per-query mixed path;
-        admission rejections are answered without touching Spark."""
+        N ``query_json``-shaped dicts out — ONE ``search_many`` plan plus an
+        id-pruned docstore probe; each request's page of snippets renders
+        driver-side (the searchd micro-batcher drains concurrent POSTs
+        through here, so 32 concurrent clients cost one Spark job instead
+        of 32 serialized ones). Math-bearing requests fall back to the
+        per-query mixed path; admission rejections are answered without
+        touching Spark."""
         from .plans.query import search_many
-        from .plans.snippet import snippets_for_many
 
         out: list[dict | None] = [None] * len(requests)
         queries: dict[str, tuple[str, str]] = {}
@@ -300,7 +307,17 @@ class SearchEngine:
             for r in sorted(
                 page_rows, key=lambda r: (r["qid"], -r["score"], r["doc_id"])
             ):
-                url, text = texts.get(int(r["doc_id"]), ("", ""))
+                if int(r["doc_id"]) not in texts:
+                    # docstore-missing hit (inconsistent index): drop it and
+                    # shrink the per-query total, approximating query_json's
+                    # snippets_for inner join. Not byte-exact: the inner
+                    # join drops BEFORE pagination (the next-ranked hit
+                    # backfills the page) where this page comes up a row
+                    # short — acceptable for a corrupt-index edge, vs
+                    # rendering an empty-url/title hit as before
+                    totals[r["qid"]] = max(0, totals.get(r["qid"], 0) - 1)
+                    continue
+                url, text = texts[int(r["doc_id"])]
                 text = text if isinstance(text, str) else ""
                 snippet, _, _, _ = render_snippet(text, qterms.get(r["qid"], []))
                 by_qid.setdefault(r["qid"], []).append(

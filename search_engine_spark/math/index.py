@@ -99,6 +99,44 @@ def _math_exp_positions(text: str) -> list[int]:
     return [i for i, t in enumerate(tokenize_text(text)) if t == MATH_PLACEHOLDER]
 
 
+# ---- per-task memos (guide §4.5: heavyweight work once, amortized) -------
+# TeX parsing is pure Python and pure-functional; real corpora repeat
+# expressions heavily (boilerplate formulas, template pages), so both index
+# kernels memoize parse results per DISTINCT tex string. Bounded caches:
+# misses on a diverse corpus cost one dict probe. tuples (immutable) guard
+# against caller mutation of shared results.
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=65536)
+def _subpaths_cached(tex: str) -> tuple:
+    return tuple(tex_subpaths(tex))
+
+
+@lru_cache(maxsize=65536)
+def _lr_paths_cached(tex: str) -> tuple:
+    from .texparse import tex_lr_paths
+
+    return tuple(tex_lr_paths(tex))
+
+
+_POS_MEMO: dict[str, list[int]] = {}
+
+
+def _math_exp_positions_memo(text: str) -> list[int]:
+    """_math_exp_positions with a size-gated memo (only small texts are
+    cached, and the dict is dropped once 8192 entries accumulate, so a
+    diverse web corpus cannot pin worker memory)."""
+    if len(text) > 4096:
+        return _math_exp_positions(text)
+    hit = _POS_MEMO.get(text)
+    if hit is None:
+        if len(_POS_MEMO) >= 8192:
+            _POS_MEMO.clear()
+        hit = _POS_MEMO[text] = _math_exp_positions(text)
+    return hit
+
+
 def build_math_lr_index(docs: DataFrame) -> DataFrame:
     """(doc_id, text) -> ordered leaf-root path table for MNC scoring.
 
@@ -106,7 +144,6 @@ def build_math_lr_index(docs: DataFrame) -> DataFrame:
     math-index/math-posting.h:10-32): positions become MNC path_ids.
     Narrow Arrow pass like build_math_index.
     """
-    from .texparse import tex_lr_paths
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -116,9 +153,9 @@ def build_math_lr_index(docs: DataFrame) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if not isinstance(text, str):
                     continue
-                mpos = _math_exp_positions(text)
+                mpos = _math_exp_positions_memo(text)
                 for exp_id, tex in enumerate(extract_math_spans(text)):
-                    paths = tex_lr_paths(tex)
+                    paths = _lr_paths_cached(tex)
                     for pid, (struct, symbol) in enumerate(paths, start=1):
                         segs = struct.split("/")
                         rows["doc_id"].append(doc_id)
@@ -169,9 +206,9 @@ def build_math_index(docs: DataFrame) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if not isinstance(text, str):
                     continue
-                mpos = _math_exp_positions(text)
+                mpos = _math_exp_positions_memo(text)
                 for exp_id, tex in enumerate(extract_math_spans(text)):
-                    paths = tex_subpaths(tex)
+                    paths = _subpaths_cached(tex)
                     for p, g in paths:
                         rows["subpath"].append(p)
                         rows["is_gener"].append(g)

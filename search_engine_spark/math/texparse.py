@@ -21,9 +21,11 @@ each LEAF contributes the path of operator tokens from itself to the root.
   (reference test cases/math-rank/alpha-equvalence.txt semantics);
 - \\qvar{..} wildcard leaves emit only gener paths (wildcard.txt case).
 
-This is an MVP re-expression, not a port: scoring uses a containment
-similarity over matched path sets (see search.py) instead of the reference
-MNC bipartite match (search/mnc-score.c) — documented deviation.
+This is a re-expression, not a port. Scoring: mixed queries default to the
+reference MNC bipartite mark-and-cross (search/mnc-score.c twin in
+search.py over the ordered leaf-root path table); the containment
+similarity over matched path sets is the fallback when no lr table is
+available.
 """
 
 from __future__ import annotations

@@ -254,6 +254,14 @@ def load_index(spark: SparkSession, path: str, with_row_postings: bool = False) 
     import os
 
     blocks = read_table(spark, f"{path}/blocks")
+    if not {"block_max_tf", "block_min_dl"}.issubset(set(blocks.columns)):
+        # pre-round-5 block schema (block_max_tfn, no serve-time extremes):
+        # fail HERE with a clear message instead of an opaque missing-column
+        # error at serve time
+        raise ValueError(
+            f"index at {path!r} uses an old block format (missing "
+            "block_max_tf/block_min_dl); rebuild the index with this version"
+        )
     srow = spark.read.parquet(f"{path}/stats").collect()[0]
     doc_blocks = None
     if os.path.exists(f"{path}/doc_blocks"):

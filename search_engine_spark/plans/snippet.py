@@ -103,56 +103,3 @@ def snippets_for(index, topk: DataFrame, qterms: list[str]) -> DataFrame:
         F.col("_sn.w0_end").alias("w0_end"),
         "score",
     ).orderBy(F.desc("score"), F.asc("doc_id"))  # docstore join loses rank order
-
-
-def snippets_for_many(
-    index,
-    topk: DataFrame,
-    qterms_by_qid: dict[str, list[str]],
-    doc_ids: list[int] | None = None,
-) -> DataFrame:
-    """Batched twin of :func:`snippets_for`: ``topk`` carries a ``qid``
-    column (search_many output) and each query highlights ITS OWN terms.
-    One docstore join + one Arrow pass for the whole workload — the
-    daemon's micro-batched reply path (searchd.py) renders N concurrent
-    requests' snippets in a single job instead of N.
-
-    ``doc_ids``: when the caller already knows the (small) hit-id set,
-    passing it prunes the docstore SCAN with a ``doc_id IN (...)``
-    predicate before the join — Parquet row-group stats and the in-memory
-    cache's per-batch min/max both skip every block outside the set (the
-    docstore is written doc_id-ordered), where the bare join reads and
-    decompresses the whole store just to broadcast-probe it. Interleaved
-    A/B at 400k docs x 32 queries: the full-store join cost ~2.4s per
-    drain; the pruned probe is ~0.3s."""
-    store = index.docstore
-    if doc_ids is not None:
-        store = store.where(F.col("doc_id").isin([int(i) for i in doc_ids]))
-    hits = topk.join(store, "doc_id")
-    terms_map = {q: list(t) for q, t in qterms_by_qid.items()}
-
-    @F.pandas_udf(_OUT)
-    def _render(qids: pd.Series, texts: pd.Series) -> pd.DataFrame:
-        out = [
-            render_snippet(t if isinstance(t, str) else "", terms_map.get(q, []))
-            for q, t in zip(qids, texts)
-        ]
-        return pd.DataFrame(
-            {
-                "snippet": [s for s, _, _, _ in out],
-                "n_highlights": [n for _, n, _, _ in out],
-                "w0_start": [a for _, _, a, _ in out],
-                "w0_end": [b for _, _, _, b in out],
-            }
-        )
-
-    rendered = hits.withColumn("_sn", _render(F.col("qid"), F.col("text")))
-    return rendered.select(
-        "qid",
-        "doc_id",
-        "url",
-        F.substring_index("text", "\n\n", 1).alias("title"),
-        F.col("_sn.snippet").alias("snippet"),
-        F.col("_sn.n_highlights").alias("n_highlights"),
-        "score",
-    ).orderBy("qid", F.desc("score"), F.asc("doc_id"))

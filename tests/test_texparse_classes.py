@@ -198,6 +198,10 @@ def test_round5b_dimension_and_label_args_vanish():
 
 
 def test_round5b_lim_variants_are_funs():
-    assert tex_subpaths("\\varinjlim f") == tex_subpaths("\\varinjlim f")
+    # same STRUCTURE as \injlim (a fun leaf applied to f); concrete paths
+    # differ only in the leaf symbol (fun:varinjlim vs fun:injlim)
+    assert [p for p, g in tex_subpaths("\\varinjlim f") if g] == [
+        p for p, g in tex_subpaths("\\injlim f") if g
+    ]
     got = {sym for _, sym in tex_lr_paths("\\varinjlim f")}
     assert "fun:varinjlim" in got
