@@ -176,14 +176,55 @@ def tokenize_slices_udf(texts: pd.Series) -> pd.Series:
 
 
 def tokens_frame(df, text_col: str = "text", id_col: str = "doc_id"):
-    """documents -> tokens (doc_id, pos, term) via tokenize + posexplode.
+    """documents -> tokens (doc_id, pos, term) in ONE mapInArrow kernel.
 
-    Narrow transformation: no shuffle; Catalyst prunes to (id, text).
+    Narrow transformation: no shuffle. The former pandas-UDF + posexplode
+    form boxed every document's token list into a Python list object inside
+    a pandas Series, shipped it to the JVM as array<string>, and re-exploded
+    it row-by-row in Catalyst; here the flat token stream goes straight into
+    an Arrow string column and (doc_id, pos) are two numpy repeats/aranges —
+    the per-token cost is the tokenizer regex only (guide §4.2). Output rows
+    and schema are identical (doc_id long, pos int, term string; position ==
+    token ordinal).
     """
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("pos", pa.int32()), ("term", pa.string())]
+        )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy()
+            texts = batch.column(1).to_pylist()
+            tok_lists = [tokenize_text(t) if isinstance(t, str) else [] for t in texts]
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat = pa.array(
+                [t for toks in tok_lists for t in toks], type=pa.string()
+            )
+            doc_rep = np.repeat(ids.astype(np.int64), lens)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            pos = (np.arange(total, dtype=np.int64) - starts[np.repeat(np.arange(len(lens)), lens)]).astype(np.int32)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_rep, type=pa.int64()),
+                    pa.array(pos, type=pa.int32()),
+                    flat,
+                ],
+                schema=schema,
+            )
+
     return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokenize_udf(F.col(text_col))).alias("pos", "term"),
-    )
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col)
+    ).mapInArrow(kernel, "doc_id long, pos int, term string")
 
 
 from pyspark.sql.types import BinaryType  # noqa: E402

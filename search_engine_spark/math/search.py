@@ -117,7 +117,12 @@ def math_expr_scores(spark: SparkSession, math_postings: DataFrame, tex: str) ->
     return pe.groupBy("doc_id").agg(F.max("sim").alias("math_score"))
 
 
-def _mnc_per_exp(spark: SparkSession, lr_postings: DataFrame, tex: str) -> DataFrame | None:
+def _mnc_per_exp(
+    spark: SparkSession,
+    lr_postings: DataFrame,
+    tex: str,
+    per_doc: bool = False,
+) -> DataFrame | None:
     """Reference-fidelity expression ranking: the MNC mark-and-cross score
     (search/mnc-score.c, math-expr-search.c:280-360) over the ordered
     leaf-root path table (build_math_lr_index).
@@ -130,6 +135,15 @@ def _mnc_per_exp(spark: SparkSession, lr_postings: DataFrame, tex: str) -> DataF
     loop only ever touches the candidate tail, never the corpus.
 
     Returns (doc_id, exp_id, mnc_score, exp_pos) or None for an empty query.
+
+    ``per_doc``: aggregate inside the scoring kernel instead of a downstream
+    groupBy — the stream is hash-partitioned by doc_id ONLY (every exp of a
+    doc in one partition, sorted (doc_id, exp_id) so groups still stream)
+    and each doc emits ONE row (doc_id, mnc_score = max over its
+    positive-score expressions, exp_pos_list = their positions). Removes the
+    per-doc aggregation exchange both mnc_expr_scores and mixed_search paid
+    after the kernel (guide §2.4); zero-score docs emit nothing, exactly
+    like the former ``where(mnc_score > 0)`` + groupBy.
     """
     import pandas as pd
 
@@ -277,7 +291,91 @@ def _mnc_per_exp(spark: SparkSession, lr_postings: DataFrame, tex: str) -> DataF
                 {"doc_id": out_d, "exp_id": out_e, "mnc_score": out_s, "exp_pos": out_p}
             )
 
+    def score_doc_part(batches):
+        """per_doc mode: same streaming group walk, but doc-level rows out.
+
+        The stream is partitioned by doc_id and sorted (doc_id, exp_id), so
+        a doc's expression groups are contiguous; only docs with at least
+        one positive-score expression emit (max score + the positive
+        expressions' positions), which is exactly the former
+        where(mnc_score > 0) + groupBy(doc_id) result."""
+        cur_key = None
+        cur_rows: list = []
+        cur_doc = None
+        best = 0
+        plist: list[int] = []
+        out_d, out_s, out_p = [], [], []
+
+        def _flush_doc():
+            nonlocal cur_doc, best, plist
+            if cur_doc is not None and best > 0:
+                out_d.append(cur_doc)
+                out_s.append(best)
+                out_p.append(plist)
+            cur_doc, best, plist = None, 0, []
+
+        def _flush_group():
+            nonlocal cur_doc, best, plist
+            if cur_key is None or not cur_rows:
+                return
+            rws = cur_rows
+            if len({r[7] for r in rws}) != n_q:
+                return  # AND merge: every query path must match
+            seen = set()
+            dedup = []
+            for r in sorted(rws, key=lambda x: x[4]):
+                if r[4] in seen:
+                    continue
+                seen.add(r[4])
+                dedup.append((r[2], r[3], int(r[4])))
+            s = _mnc_sim_sparse(qlist, dedup, int(rws[0][5]))
+            if s <= 0:
+                return
+            if cur_key[0] != cur_doc:
+                _flush_doc()
+                cur_doc = cur_key[0]
+            if s > best:
+                best = s
+            plist.append(int(rws[0][6]))
+
+        for pdf in batches:
+            for row in zip(
+                pdf["doc_id"].to_numpy(),
+                pdf["exp_id"].to_numpy(),
+                pdf["struct"],
+                pdf["symbol"],
+                pdf["path_id"].to_numpy(),
+                pdf["n_lr"].to_numpy(),
+                pdf["exp_pos"].to_numpy(),
+                pdf["q_ord"].to_numpy(),
+            ):
+                key = (int(row[0]), int(row[1]))
+                if key != cur_key:
+                    _flush_group()
+                    cur_key, cur_rows = key, []
+                cur_rows.append(row)
+            if out_d and len(out_d) >= 4096:
+                yield pd.DataFrame(
+                    {"doc_id": out_d, "mnc_score": out_s, "exp_pos_list": out_p}
+                )
+                out_d, out_s, out_p = [], [], []
+        _flush_group()
+        _flush_doc()
+        if out_d:
+            yield pd.DataFrame(
+                {"doc_id": out_d, "mnc_score": out_s, "exp_pos_list": out_p}
+            )
+
     npart = spark.sparkContext.defaultParallelism
+    if per_doc:
+        return (
+            matched.repartition(npart, "doc_id")
+            .sortWithinPartitions("doc_id", "exp_id")
+            .mapInPandas(
+                score_doc_part,
+                "doc_id long, mnc_score long, exp_pos_list array<int>",
+            )
+        )
     return (
         matched.repartition(npart, "doc_id", "exp_id")
         .sortWithinPartitions("doc_id", "exp_id")
@@ -286,15 +384,14 @@ def _mnc_per_exp(spark: SparkSession, lr_postings: DataFrame, tex: str) -> DataF
 
 
 def mnc_expr_scores(spark: SparkSession, lr_postings: DataFrame, tex: str) -> DataFrame:
-    """(doc_id, mnc_score) with the per-doc max MNC expression score."""
-    pe = _mnc_per_exp(spark, lr_postings, tex)
+    """(doc_id, mnc_score) with the per-doc max MNC expression score.
+
+    The per-doc max comes out of the scoring kernel itself (per_doc mode) —
+    no aggregation exchange after the kernel."""
+    pe = _mnc_per_exp(spark, lr_postings, tex, per_doc=True)
     if pe is None:
         return spark.createDataFrame([], "doc_id long, mnc_score long")
-    return (
-        pe.where(F.col("mnc_score") > 0)
-        .groupBy("doc_id")
-        .agg(F.max("mnc_score").alias("mnc_score"))
-    )
+    return pe.select("doc_id", "mnc_score")
 
 
 def _mnc_sim_sparse(q_sorted, doc_rows, n_d: int) -> int:
@@ -417,23 +514,28 @@ def mixed_search(
             n_q = len(tex_lr_paths(tex))
             if n_q == 0:
                 continue
-            pe = _mnc_per_exp(spark, math_lr_postings, tex)
+            # per_doc kernel mode: the per-doc max + matched positions come
+            # out of the scoring kernel — no groupBy exchange here
+            pe = _mnc_per_exp(spark, math_lr_postings, tex, per_doc=True)
             if pe is None:
                 continue
-            pe = pe.where(F.col("mnc_score") > 0).select(
+            mdf = pe.select(
                 "doc_id",
-                (F.col("mnc_score") / F.lit(100.0 * n_q)).alias("sim"),
-                "exp_pos",
+                (F.col("mnc_score") / F.lit(100.0 * n_q)).alias("math_score"),
+                F.col("exp_pos_list").alias("_mpos"),
             )
         else:
             pe = _containment_per_exp(spark, math_postings, tex)
             if pe is None:
                 continue
-            pe = pe.where(F.col("sim") > 0).select("doc_id", "sim", "exp_pos")
-        mdf = pe.groupBy("doc_id").agg(
-            F.max("sim").alias("math_score"),
-            F.collect_list("exp_pos").alias("_mpos"),
-        )
+            mdf = (
+                pe.where(F.col("sim") > 0)
+                .groupBy("doc_id")
+                .agg(
+                    F.max("sim").alias("math_score"),
+                    F.collect_list("exp_pos").alias("_mpos"),
+                )
+            )
         if probe:
             mdf = mdf.persist()
         per_tex.append((ti, mdf))
@@ -598,12 +700,11 @@ def _mixed_shard_search(
     from ..plans.serve import _decode_partition
 
     ln03 = float(_math.log(0.3))
-    stats = (
-        index.term_stats.filter(F.col("term").isin(terms)).select("term", "df").collect()
-    )
-    dfmap = {r["term"]: r["df"] for r in stats}
+    from ..plans.serve import df_lookup
+
+    dfmap = df_lookup(index, terms)
     kws = [
-        (i, t, S.idf(float(dfmap.get(t, 0)), float(index.docN)))
+        (i, t, S.idf(dfmap.get(t, 0.0), float(index.docN)))
         for i, t in enumerate(terms)
     ]
     avgdl = float(index.avgdl)

@@ -482,13 +482,23 @@ def invert_pack_blocks(
     from ..functions.tokenizer import tokenize_text
 
     sc = docs.sparkSession.sparkContext
-    nparts = num_partitions or 4 * sc.defaultParallelism
     base = docs.select("doc_id", text_col)
     if assume_doc_partitioned:
         # docIDs were assigned by url-range partitioning: partitions are
         # already doc ranges; just order within them
         arranged = base.sortWithinPartitions("doc_id")
     else:
+        # Scale-adaptive partition count (guide §2): derive from the INPUT's
+        # split count instead of a flat 4/core. A big scan arrives with many
+        # splits and keeps the 4-tasks/core granularity that smooths the
+        # straggler tail; a small table (one parquet file spread to
+        # defaultParallelism) gets exactly one shard per core — the flat
+        # 4/core constant gave a 5k-doc index 128 micro-partitions whose
+        # per-task overhead then taxed every downstream consumer (unpack:
+        # 0.96s at 128 parts vs 0.34s at 32, same data; serving coalesces
+        # per query, but unpack/scan paths read the layout as built).
+        para = sc.defaultParallelism
+        nparts = num_partitions or max(para, min(4 * para, base.rdd.getNumPartitions()))
         arranged = base.repartitionByRange(nparts, "doc_id").sortWithinPartitions(
             "doc_id"
         )

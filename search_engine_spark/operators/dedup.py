@@ -134,6 +134,7 @@ def ngram_jaccard_pairs(
         # partial counters, never a corpus-sized aggregation buffer. Only
         # the surviving buckets reach the collect_list below (whose size is
         # then bounded by the cap).
+        #
         hot = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))

@@ -787,24 +787,58 @@ def shard_search(
     )
 
 
+_DF_CACHE_MAX = 1_000_000  # bounded: a hostile query stream cannot grow driver memory
+
+
+def df_lookup(index, terms: list[str]) -> dict[str, float]:
+    """term -> df for ``terms``, through a bounded per-index dictionary cache.
+
+    The reference daemon holds its term dictionary hot across requests
+    (Indri's term lookup + indices/postcache.c); the Spark twin is a plain
+    dict on the index handle. Only terms not yet seen run the term_stats
+    lookup job — a steady-state serving session pays the Spark job once per
+    NEW term, not once per query. Absent terms cache as df=0 (the dictionary
+    answers "not in vocabulary" without re-probing). The cache clears at
+    ``_DF_CACHE_MAX`` entries so driver memory stays bounded at web-scale
+    vocabularies; index handles are immutable (merge builds a new one), so
+    entries can never go stale.
+    """
+    cache = getattr(index, "_df_cache", None)
+    if cache is None:
+        cache = {}
+        index._df_cache = cache
+    missing = [t for t in terms if t not in cache]
+    if missing:
+        rows = (
+            index.term_stats.filter(F.col("term").isin(missing))
+            .select("term", "df")
+            .collect()
+        )
+        got = {r["term"]: float(r["df"]) for r in rows}
+        if len(cache) + len(missing) > _DF_CACHE_MAX:
+            cache.clear()
+        for t in missing:
+            cache[t] = got.get(t, 0.0)
+    return {t: cache[t] for t in terms}
+
+
 def resolve_keywords(spark: SparkSession, index, queries: dict[str, tuple[str, str]]):
     """qid -> (qtext, mode)  =>  qid -> ([(kw_idx, term, idf)], mode).
 
-    One tiny term_stats lookup for the whole batch (reference Q3/Q5)."""
+    At most one tiny term_stats lookup for the whole batch (reference
+    Q3/Q5), and none at all when every term is already in the index's
+    df dictionary cache (``df_lookup``)."""
     from .query import digest_query
 
     digested = {qid: (digest_query(qtext), mode) for qid, (qtext, mode) in queries.items()}
     all_terms = sorted({t for ts, _ in digested.values() for t in ts})
     if not all_terms:
         return {qid: ([], mode) for qid, (_, mode) in digested.items()}
-    stats = (
-        index.term_stats.filter(F.col("term").isin(all_terms)).select("term", "df").collect()
-    )
-    dfmap = {r["term"]: r["df"] for r in stats}
+    dfmap = df_lookup(index, all_terms)
     out = {}
     for qid, (terms, mode) in digested.items():
         kws = [
-            (i, t, S.idf(float(dfmap.get(t, 0)), float(index.docN)))
+            (i, t, S.idf(dfmap.get(t, 0.0), float(index.docN)))
             for i, t in enumerate(terms)
         ]
         out[qid] = (kws, mode)
