@@ -41,6 +41,35 @@ def release(df: DataFrame) -> None:
         h.unpersist()
 
 
+_KERNEL_TASK_BYTES = 32 << 20  # ~32MB of input per Arrow-kernel task
+
+
+def _kernel_coalesce(df: DataFrame, min_task_bytes: int = _KERNEL_TASK_BYTES) -> DataFrame:
+    """Coalesce a micro-partitioned input before a per-doc Arrow kernel.
+
+    A filtered slice of a big cached corpus arrives in the PARENT's
+    partitioning (the scaling bench's ~5k-doc hash slice of a 1M-doc corpus
+    lives in 400 partitions of ~12 docs), and a mapInArrow kernel then pays
+    the Python-worker round-trip + task fixed cost per micro-partition —
+    measured 4.45s for the shingle kernel at 400 parts vs 0.41s at 32
+    (local[32], same rows). The target is BYTES-derived from Catalyst stats
+    (accurate for cached frames and file scans): at least ``min_task_bytes``
+    of input per task, floored at one task per core, and never MORE
+    partitions than the input already has — so a web-scale input whose
+    ~128MB splits already exceed the per-task budget is untouched (its
+    partition count stays, no giant tasks are created). coalesce() is
+    narrow: no shuffle, merges whole parent partitions.
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # stats unavailable: leave the layout alone
+        return df
+    n = df.rdd.getNumPartitions()
+    target = max(sc.defaultParallelism, size // min_task_bytes)
+    return df.coalesce(int(target)) if n > target else df
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups by md5(text); keeper = min doc_id.
 
@@ -87,6 +116,61 @@ def shingle_frame(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def shingle_sets(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, _sh array<string>) — distinct k-token shingles per doc, as
+    ONE fused mapInArrow kernel (guide §4.2).
+
+    Row-identical to ``select(doc_id, _shingles_expr(k))``: same tokenizer
+    rule (the ``regexp_extract_all(text, '[a-zA-Z]+', 0)`` letter runs of
+    textstats.TOKS, case preserved), same first-occurrence dedup order
+    (dict.fromkeys == array_distinct), same ``<k``-token degenerate case
+    (one shingle joining all tokens — an empty doc yields ['']). The former
+    Catalyst form built each doc's shingle array through a chain of
+    interpreted higher-order functions (sequence/transform/concat_ws/slice/
+    array_distinct) — the same chain whose minhash twin measured ~3x slower
+    than the fused kernel (minhash_signatures docstring); here the token
+    scan is one C-level findall and the array column is assembled once per
+    batch.
+    """
+    import pyarrow as pa
+
+    def kernel(batches):
+        import re
+
+        tok_re = re.compile(r"[a-zA-Z]+")
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("_sh", pa.list_(pa.string()))]
+        )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column(0).to_numpy()
+            texts = batch.column(1).to_pylist()
+            out: list[list[str]] = []
+            for t in texts:
+                toks = tok_re.findall(t) if isinstance(t, str) else []
+                if len(toks) >= k:
+                    sh = list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+                        )
+                    )
+                else:
+                    sh = [" ".join(toks)]
+                out.append(sh)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype("int64"), type=pa.int64()),
+                    pa.array(out, type=pa.list_(pa.string())),
+                ],
+                schema=schema,
+            )
+
+    return _kernel_coalesce(docs.select(F.col("doc_id").cast("long"), "text")).mapInArrow(
+        kernel, "doc_id long, _sh array<string>"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     k: int = 3,
@@ -117,16 +201,29 @@ def ngram_jaccard_pairs(
     per-bucket pair expansion is O(cap^2) — the shape that survives a
     Zipf shingle distribution at web scale.
 
-    The per-doc shingle-array frame is persisted (it feeds pair generation
-    and both verify sides; self-joins do not CSE); call ``release`` on the
+    Verification never ships a shingle array (guide §2.3/§8 — decide with
+    small rows): because each doc's shingle set is distinct and each COLD
+    shingle forms exactly one bucket containing both docs of a pair,
+    ``groupBy(doc_a, doc_b).count()`` over the bucket pair expansion IS
+    |A ∩ B ∩ cold| — the candidate dedup and the cold intersection count
+    are the same aggregate. The hot remainder |A ∩ B ∩ hot| intersects
+    per-doc HOT-ONLY shingle arrays (grouped per doc, bounded by the doc's
+    own shingle count, never by a hot bucket's corpus-wide doc list) at
+    the same join that attaches the set sizes. The former shape shuffled
+    the FULL shingle arrays through two joins and ran array_intersect over
+    them per pair (O(|A|+|B|) string hashing per candidate) — the array
+    payload is what anti-scaled 16 -> 32 cores at 1M docs (BENCH r05:
+    7.1s -> 13.4s best-of-N).
+
+    The per-doc shingle-set frame is persisted (it feeds pair generation,
+    hot membership, and the size projection); call ``release`` on the
     returned DataFrame after materializing it to free executor storage in
     long-lived sessions.
     """
-    based = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.expr(_shingles_expr(k)).alias("_sh"),
-    ).persist()
+    based = shingle_sets(docs, k).persist()
     sh = based.select("doc_id", F.explode("_sh").alias("shingle"))
+    cached: list[DataFrame] = [based]
+    hot = None
     if max_shingle_df is not None:
         # df cap enforced BEFORE any doc list materializes: the count
         # aggregate is combinable (map-side partial sums), so one ultra-hot
@@ -140,37 +237,65 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).alias("_df"))
             .where(F.col("_df") > max_shingle_df)
             .select("shingle")
+            .persist()  # feeds the anti-join AND the hot-membership join
         )
-        sh = sh.join(hot, "shingle", "left_anti")
-    buckets = sh.groupBy("shingle").agg(
+        cached.append(hot)
+        sh_cold = sh.join(hot, "shingle", "left_anti")
+    else:
+        sh_cold = sh
+    buckets = sh_cold.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("_ds")
     )
-    size_ok = F.size("_ds") >= 2
-    cands = (
-        buckets.where(size_ok)
+    # ONE aggregate = candidate dedup + exact cold-intersection count
+    pair_cnt = (
+        buckets.where(F.size("_ds") >= 2)
         .select(F.explode(F.expr(_PAIR_EXPR)).alias("p"))
-        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("_nc"))
     )
-    arr_a = based.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
-    arr_b = based.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
+    # per-doc metadata for the verify join: the full set SIZE (narrow
+    # projection of the persisted arrays) plus the doc's HOT shingles only
+    # (grouped per doc — bounded by the doc's own shingle count, never by a
+    # hot bucket's corpus-wide doc list). |A ∩ B ∩ hot| is then an in-task
+    # array_intersect over these (typically tiny) hot arrays at the same
+    # join that attaches the sizes — no extra exchange, and the dominant
+    # cold part of the intersection never touches an array at all.
+    sizes = based.select("doc_id", F.size("_sh").alias("_n"))
+    if hot is not None:
+        hot_arrays = (
+            sh.join(hot, "shingle")
+            .groupBy("doc_id")
+            .agg(F.collect_list("shingle").alias("_hs"))
+        )
+        meta = sizes.join(hot_arrays, "doc_id", "left")
+        n_hot = F.when(
+            F.col("_hsa").isNotNull() & F.col("_hsb").isNotNull(),
+            F.size(F.array_intersect("_hsa", "_hsb")),
+        ).otherwise(F.lit(0))
+    else:
+        meta = sizes.withColumn("_hs", F.lit(None).cast("array<string>"))
+        n_hot = F.lit(0)
+    meta_a = meta.select(
+        F.col("doc_id").alias("doc_a"), F.col("_n").alias("_na"), F.col("_hs").alias("_hsa")
+    )
+    meta_b = meta.select(
+        F.col("doc_id").alias("doc_b"), F.col("_n").alias("_nb"), F.col("_hs").alias("_hsb")
+    )
+    common = F.col("_nc") + n_hot
     j = (
-        cands.join(arr_a, "doc_a")
-        .join(arr_b, "doc_b")
+        pair_cnt.join(meta_a, "doc_a")
+        .join(meta_b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.size(F.array_intersect("_sa", "_sb"))
-                / (F.size("_sa") + F.size("_sb") - F.size(F.array_intersect("_sa", "_sb")))
-            ).alias("_j"),
+            (common / (F.col("_na") + F.col("_nb") - common)).alias("_j"),
         )
     )
     out = (
         j.where(F.col("_j") >= threshold)
         .select("doc_a", "doc_b", F.round("_j", 6).alias("jaccard"))
     )
-    return _with_cached_inputs(out, [based])
+    return _with_cached_inputs(out, cached)
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 8) -> DataFrame:
@@ -241,7 +366,9 @@ def minhash_signatures(docs: DataFrame, k: int = 3, n_hashes: int = 8) -> DataFr
             )
 
     out_schema = ", ".join(["doc_id long"] + [f"h{s} string" for s in range(n_hashes)])
-    return docs.select(F.col("doc_id").cast("long"), "text").mapInArrow(kernel, out_schema)
+    return _kernel_coalesce(docs.select(F.col("doc_id").cast("long"), "text")).mapInArrow(
+        kernel, out_schema
+    )
 
 
 def minhash_lsh_pairs(
