@@ -1268,7 +1268,9 @@ def _q_mx_mnc(spark, sf_dir):
     from .math.search import mnc_expr_scores
 
     lr = build_math_lr_index(_math_docs(spark, sf_dir))
-    sc = mnc_expr_scores(spark, lr, "a+\\frac{2}{a}")
+    # inline-built lr table is doc-partitioned (narrow pass over docs):
+    # the scorer skips its pre-kernel exchange
+    sc = mnc_expr_scores(spark, lr, "a+\\frac{2}{a}", assume_doc_partitioned=True)
     return sc.select(F.col("doc_id").cast("long"), F.col("mnc_score").cast("long"))
 
 
@@ -1302,7 +1304,8 @@ def _mx_mixed_query(qtext: str):
         mp = build_math_index(docs)
         lr = build_math_lr_index(docs)
         res = mixed_search(
-            spark, idx, mp, qtext, k=S.RANK_K + 64, math_lr_postings=lr
+            spark, idx, mp, qtext, k=S.RANK_K + 64, math_lr_postings=lr,
+            lr_doc_partitioned=True,
         )
         rounded = res.select(
             F.col("doc_id").cast("long").alias("doc_id"),

@@ -122,6 +122,7 @@ def _mnc_per_exp(
     lr_postings: DataFrame,
     tex: str,
     per_doc: bool = False,
+    assume_doc_partitioned: bool = False,
 ) -> DataFrame | None:
     """Reference-fidelity expression ranking: the MNC mark-and-cross score
     (search/mnc-score.c, math-expr-search.c:280-360) over the ordered
@@ -144,6 +145,17 @@ def _mnc_per_exp(
     per-doc aggregation exchange both mnc_expr_scores and mixed_search paid
     after the kernel (guide §2.4); zero-score docs emit nothing, exactly
     like the former ``where(mnc_score > 0)`` + groupBy.
+
+    ``assume_doc_partitioned``: the lr table came STRAIGHT from the narrow
+    ``build_math_lr_index`` pass (mapInPandas over the docs frame), so every
+    doc's rows already live in one partition and a SINGLE-branch candidate
+    probe (broadcast join — narrow) preserves that. The pre-kernel
+    repartition exchange is then skipped outright (guide §2.4):
+    sortWithinPartitions alone gives the kernel its contiguous groups. A
+    multi-branch query (concrete + wildcard paths) unions per-branch copies
+    of the partitioning, so the exchange stays. Saved lr tables are
+    partitioned by lseg_bucket (NOT by doc) — callers loading from storage
+    must leave this False.
     """
     import pandas as pd
 
@@ -367,28 +379,43 @@ def _mnc_per_exp(
             )
 
     npart = spark.sparkContext.defaultParallelism
+    skip_exchange = assume_doc_partitioned and len(branches) == 1
     if per_doc:
-        return (
-            matched.repartition(npart, "doc_id")
-            .sortWithinPartitions("doc_id", "exp_id")
-            .mapInPandas(
-                score_doc_part,
-                "doc_id long, mnc_score long, exp_pos_list array<int>",
-            )
+        arranged = (
+            matched
+            if skip_exchange
+            else matched.repartition(npart, "doc_id")
+        ).sortWithinPartitions("doc_id", "exp_id")
+        return arranged.mapInPandas(
+            score_doc_part,
+            "doc_id long, mnc_score long, exp_pos_list array<int>",
         )
-    return (
-        matched.repartition(npart, "doc_id", "exp_id")
-        .sortWithinPartitions("doc_id", "exp_id")
-        .mapInPandas(score_part, "doc_id long, exp_id int, mnc_score long, exp_pos int")
+    arranged = (
+        matched
+        if skip_exchange
+        else matched.repartition(npart, "doc_id", "exp_id")
+    ).sortWithinPartitions("doc_id", "exp_id")
+    return arranged.mapInPandas(
+        score_part, "doc_id long, exp_id int, mnc_score long, exp_pos int"
     )
 
 
-def mnc_expr_scores(spark: SparkSession, lr_postings: DataFrame, tex: str) -> DataFrame:
+def mnc_expr_scores(
+    spark: SparkSession,
+    lr_postings: DataFrame,
+    tex: str,
+    assume_doc_partitioned: bool = False,
+) -> DataFrame:
     """(doc_id, mnc_score) with the per-doc max MNC expression score.
 
     The per-doc max comes out of the scoring kernel itself (per_doc mode) —
-    no aggregation exchange after the kernel."""
-    pe = _mnc_per_exp(spark, lr_postings, tex, per_doc=True)
+    no aggregation exchange after the kernel. ``assume_doc_partitioned``:
+    see _mnc_per_exp (skips the pre-kernel exchange for an inline-built lr
+    table)."""
+    pe = _mnc_per_exp(
+        spark, lr_postings, tex, per_doc=True,
+        assume_doc_partitioned=assume_doc_partitioned,
+    )
     if pe is None:
         return spark.createDataFrame([], "doc_id long, mnc_score long")
     return pe.select("doc_id", "mnc_score")
@@ -469,6 +496,7 @@ def mixed_search(
     with_prox: bool = True,
     math_lr_postings: DataFrame | None = None,
     broadcast_budget_bytes: int = MAX_BROADCAST_MATH_BYTES,
+    lr_doc_partitioned: bool = False,
 ) -> DataFrame:
     """Full mixed term+math query -> top-k
     (doc_id, bm25, match_dim, max_math, prox, score).
@@ -516,7 +544,10 @@ def mixed_search(
                 continue
             # per_doc kernel mode: the per-doc max + matched positions come
             # out of the scoring kernel — no groupBy exchange here
-            pe = _mnc_per_exp(spark, math_lr_postings, tex, per_doc=True)
+            pe = _mnc_per_exp(
+                spark, math_lr_postings, tex, per_doc=True,
+                assume_doc_partitioned=lr_doc_partitioned,
+            )
             if pe is None:
                 continue
             mdf = pe.select(
