@@ -742,7 +742,7 @@ def _mixed_shard_search(
     bc = spark.sparkContext.broadcast(minfo)
     from ..plans.serve import serving_coalesce
 
-    blocks = serving_coalesce(index.doc_blocks).filter(F.col("term").isin(terms))
+    blocks = serving_coalesce(index.doc_blocks, docN=index.docN).filter(F.col("term").isin(terms))
     schema = (
         "doc_id long, bm25 double, match_dim double, max_math double, "
         "prox double, score double"

@@ -180,8 +180,8 @@ def attach_posting_cache(index, cache: PostingCache):
     # derived from the same layout. ``cold`` is a narrow anti-join over the
     # same parent partitioning, so the identical coalesce target yields the
     # identical pid grouping.
-    blocks = serving_coalesce(blocks)
-    cold = serving_coalesce(served_blocks(index, cache))
+    blocks = serving_coalesce(blocks, docN=index.docN)
+    cold = serving_coalesce(served_blocks(index, cache), docN=index.docN)
     bounds = partition_doc_ranges(blocks)
     flat = sorted(
         (int(lo), int(hi), pid) for pid, iv in bounds.items() for lo, hi in iv

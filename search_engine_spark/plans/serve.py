@@ -498,8 +498,18 @@ def _score_one_query(
     return udoc[top], bm25[top], match_dim[top], n_matched[top], prox[top], total[top]
 
 
-def serving_coalesce(df: DataFrame) -> DataFrame:
-    """Normalize the block frame to ONE serving shard per core.
+# Minimum docs a serving shard should cover before another shard pays off:
+# below this the per-shard kernel fixed cost (task schedule + Python worker
+# Arrow round-trip + per-query bookkeeping) outweighs the parallelism.
+# Measured on the 5k-doc sf0.1 index at local[32] (best-of-5): single query
+# 0.76s at 32 shards -> 0.34s at 4; 64-query batch 0.47s -> 0.32s. Indexes
+# past cores*this (=40k docs at local[32]) keep one shard per core, so the
+# 100k-doc bench QPS workload and any at-scale index are untouched.
+SERVE_DOCS_PER_SHARD = 1250
+
+
+def serving_coalesce(df: DataFrame, docN: int | None = None) -> DataFrame:
+    """Normalize the block frame to the serving shard count.
 
     The BUILD wants ~4 tasks/core for load balance, but at SERVE time each
     mapInPandas task scores the whole query batch against its shard, so
@@ -509,13 +519,19 @@ def serving_coalesce(df: DataFrame) -> DataFrame:
     whole parent partitions, so the doc-sharded invariant (every block of
     a doc in one shard) is preserved, and the grouping is deterministic
     for a given parent count — attach_posting_cache and shard_search both
-    route through this helper so the cache pool's pid-keyed bounds agree
-    with the query-time layout. On a real cluster the target is the
-    cluster's total cores (defaultParallelism), i.e. one serving shard
-    per executor core. Override with $SPARK_GRAFT_SERVE_SHARDS.
+    route through this helper (with the same ``docN``) so the cache pool's
+    pid-keyed bounds agree with the query-time layout. On a real cluster
+    the target is the cluster's total cores (defaultParallelism), i.e. one
+    serving shard per executor core — scaled DOWN for small indexes so a
+    shard covers at least ``SERVE_DOCS_PER_SHARD`` docs (tiny indexes
+    otherwise pay 32 kernel round-trips to score 5k docs). Override with
+    $SPARK_GRAFT_SERVE_SHARDS.
     """
     sc = df.sparkSession.sparkContext
-    target = int(os.environ.get("SPARK_GRAFT_SERVE_SHARDS", sc.defaultParallelism))
+    default = sc.defaultParallelism
+    if docN is not None:
+        default = max(1, min(default, int(docN) // SERVE_DOCS_PER_SHARD))
+    target = int(os.environ.get("SPARK_GRAFT_SERVE_SHARDS", default))
     n = df.rdd.getNumPartitions()
     return df.coalesce(target) if n > target else df
 
@@ -701,7 +717,7 @@ def shard_search(
     # raising on attach-to-query split drift instead of mis-scoring.
     hot_pool = getattr(index, "hot_pool_bc", None)
     term_set = set(all_terms)
-    blocks = serving_coalesce(index.doc_blocks).filter(F.col("term").isin(all_terms))
+    blocks = serving_coalesce(index.doc_blocks, docN=index.docN).filter(F.col("term").isin(all_terms))
     avgdl = index.avgdl
     qitems = [(qid, kws, mode) for qid, (kws, mode) in queries.items()]
     if prune and sum(1 for _, kws, m in qitems if m == "or" and kws) > PRUNE_MAX_OR_BATCH:
