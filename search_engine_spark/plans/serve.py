@@ -770,6 +770,11 @@ def shard_search(
                     )
             h = pool.get(pid)
             if h is not None:
+                import pickle
+
+                # per-shard pickled slice: this task deserializes only its
+                # own shard's frame, not the whole pool (plans/cache.py)
+                h = pickle.loads(h)
                 h = h[h["term"].isin(term_set)]
                 if len(h):
                     pdfs = [h, *pdfs]

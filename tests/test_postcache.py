@@ -52,7 +52,12 @@ def test_budget_respected_and_hottest_first(spark, index200):
     assert len(cache.hot_rows) > 0
     # 4. attach assigns every pool row to exactly one shard
     warm = attach_posting_cache(index200, cache)
-    pool, bounds = warm.hot_pool_bc.value
+    raw_pool, bounds = warm.hot_pool_bc.value
+    # pool slices are pickled per shard so a serving task deserializes only
+    # its own shard's frame (plans/cache.attach_posting_cache)
+    import pickle
+
+    pool = {pid: pickle.loads(b) for pid, b in raw_pool.items()}
     assert sum(len(v) for v in pool.values()) == len(cache.hot_rows)
     import numpy as np
     for pid, frame in pool.items():
