@@ -74,22 +74,30 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups by md5(text); keeper = min doc_id.
 
     (doc_id, text_md5, group_size, keep_doc_id, is_dup)
+
+    One window over text_md5 instead of groupBy + join-back (guide §2.4 —
+    two operations keyed the same way share one exchange): the groupBy
+    form hash-partitioned the rows by text_md5 TWICE (once into the
+    aggregate, once into the join) and evaluated md5(text) in both
+    subtrees; the window partitions once and hashes each text once.
+    Measured (sf0.1, local[32], interleaved best-of-5 x2): 0.26-0.40s ->
+    0.18-0.23s, identical rows. Group size is bounded by the duplicate
+    multiplicity of one text (and WindowExec spills per group), so the
+    skew profile matches the former join's reducer anyway.
     """
+    from pyspark.sql import Window
+
     h = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.md5(F.col("text").cast("binary")).alias("text_md5"),
     )
-    grp = h.groupBy("text_md5").agg(
-        F.count(F.lit(1)).cast("long").alias("group_size"),
-        F.min("doc_id").alias("keep_doc_id"),
-    )
-    return h.join(grp, "text_md5").select(
+    w = Window.partitionBy("text_md5")
+    return h.select(
         "doc_id",
         "text_md5",
-        "group_size",
-        "keep_doc_id",
-        (F.col("doc_id") != F.col("keep_doc_id")).alias("is_dup"),
-    )
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+        F.min("doc_id").over(w).alias("keep_doc_id"),
+    ).withColumn("is_dup", F.col("doc_id") != F.col("keep_doc_id"))
 
 
 def _shingles_expr(k: int) -> str:
